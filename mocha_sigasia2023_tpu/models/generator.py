@@ -1,0 +1,213 @@
+"""MOCHA generator: ST-GCN motion embedding + context-matching transformer.
+
+Architecture target: /root/reference/model.py:15-174.
+
+    (B, 60, 24, 15) motion windows
+      -> 1x1 conv to 64ch -> joint ST-GCN (24-joint graph, t-kernel 5) to 256
+      -> pool to 6 body parts -> temporal avg-pool /4
+      -> body ST-GCN (6-node star, t-kernel 3)
+      -> (B, 90, 256) tokens (+ learned positional embedding)
+      -> encoder transformer (self-attn, depth 2)
+      -> decoder transformer (AdaIN + IN-q/k cross-attention on character
+         tokens, depth 2)
+      -> inverse embedding back to (B, 60, 24, 15)
+
+Pure functions over an explicit param pytree; the static graph/pool
+constants come from :mod:`.graph`.  ``encode`` / ``decode`` are exposed
+separately because the streaming runtime drives them at different rates
+(encode once per window, decode every frame, test_fullframework.py:188-194,
+455-457).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import graph
+from .layers import (
+    conv1x1, init_conv2d, init_stgcn_block, init_transformer,
+    leaky_relu, mean_variance_norm, stgcn_block, transformer,
+)
+
+
+class GeneratorConfig(NamedTuple):
+    """Model hyperparameters (configs/config.yaml model section)."""
+
+    mot_in_dim: int = 15
+    nframes: int = 60
+    njoints: int = 24
+    nbody: int = 6
+    temporal_patch_size: int = 4
+    encoder_dim: int = 256
+    encoder_depth: int = 2
+    encoder_heads: int = 4
+    encoder_dim_head: int = 128
+    encoder_mlp_dim: int = 512
+    decoder_dim: int = 256
+    decoder_depth: int = 2
+    decoder_heads: int = 4
+    decoder_dim_head: int = 256
+    decoder_mlp_dim: int = 512
+    dropout: float = 0.1
+    layout: str = "mocha"
+    joint_strategy: str = "distance"
+    joint_max_hop: int = 2
+    bodypart_strategy: str = "distance"
+    bodypart_max_hop: int = 1
+
+    @property
+    def num_temp(self) -> int:
+        return self.nframes // self.temporal_patch_size
+
+    @property
+    def num_tokens(self) -> int:
+        return self.nbody * self.num_temp
+
+    @staticmethod
+    def from_dict(d: Dict) -> "GeneratorConfig":
+        g = d.get("graph", {})
+        joint = g.get("joint", {})
+        body = g.get("bodypart", {})
+        return GeneratorConfig(
+            mot_in_dim=d.get("mot_in_dim", 15),
+            nframes=d.get("nframes", 60),
+            njoints=d.get("njoints", 24),
+            nbody=d.get("nbody", 6),
+            temporal_patch_size=d.get("temporal_patch_size", 4),
+            encoder_dim=d.get("encoder_dim", 256),
+            encoder_depth=d.get("encoder_depth", 2),
+            encoder_heads=d.get("encoder_heads", 4),
+            encoder_dim_head=d.get("encoder_dim_head", 128),
+            encoder_mlp_dim=d.get("encoder_mlp_dim", 512),
+            decoder_dim=d.get("decoder_dim", 256),
+            decoder_depth=d.get("decoder_depth", 2),
+            decoder_heads=d.get("decoder_heads", 4),
+            decoder_dim_head=d.get("decoder_dim_head", 256),
+            decoder_mlp_dim=d.get("decoder_mlp_dim", 512),
+            layout=joint.get("layout", "mocha"),
+            joint_strategy=joint.get("strategy", "distance"),
+            joint_max_hop=joint.get("max_hop", 2),
+            bodypart_strategy=body.get("strategy", "distance"),
+            bodypart_max_hop=body.get("max_hop", 1),
+        )
+
+
+def _constants(cfg: GeneratorConfig):
+    A_j = jnp.asarray(graph.joint_adjacency(
+        cfg.layout, cfg.joint_strategy, cfg.joint_max_hop), jnp.float32)
+    A_b = jnp.asarray(graph.bodypart_adjacency(
+        cfg.layout, cfg.bodypart_strategy, cfg.bodypart_max_hop), jnp.float32)
+    pool = jnp.asarray(graph.pool_matrix(cfg.layout), jnp.float32)
+    unpool = jnp.asarray(graph.unpool_matrix(cfg.layout), jnp.float32)
+    return A_j, A_b, pool, unpool
+
+
+def init_generator(key, cfg: GeneratorConfig, dtype=jnp.float32) -> Dict:
+    A_j, A_b, _, _ = _constants(cfg)
+    K_j, K_b = A_j.shape[0], A_b.shape[0]
+    e, d, tps = cfg.encoder_dim, cfg.decoder_dim, cfg.temporal_patch_size
+
+    keys = jax.random.split(key, 9)
+    return {
+        "pos_emb": jax.random.normal(
+            keys[0], (1, cfg.num_tokens, e), dtype),
+        "embed": {
+            "conv_in": init_conv2d(keys[1], cfg.mot_in_dim, e // tps, (1, 1), dtype=dtype),
+            "joint": init_stgcn_block(keys[2], e // tps, e, K_j, 5, dtype=dtype),
+            "body": init_stgcn_block(keys[3], e, e, K_b, 3, dtype=dtype),
+        },
+        "encoder": init_transformer(
+            keys[4], e, cfg.encoder_depth, cfg.encoder_heads,
+            cfg.encoder_dim_head, cfg.encoder_mlp_dim, adain_on=False, dtype=dtype),
+        "decoder": init_transformer(
+            keys[5], d, cfg.decoder_depth, cfg.decoder_heads,
+            cfg.decoder_dim_head, cfg.decoder_mlp_dim, adain_on=True, dtype=dtype),
+        "head": {
+            "body": init_stgcn_block(keys[6], d, d, K_b, 3, dtype=dtype),
+            "joint": init_stgcn_block(keys[7], d, d // tps, K_j, 5, dtype=dtype),
+            "conv_out": init_conv2d(keys[8], d // tps, cfg.mot_in_dim, (1, 1), dtype=dtype),
+        },
+    }
+
+
+def embed_tokens(params: Dict, cfg: GeneratorConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Motion window (B, T, V, C) -> tokens (B, num_temp*nbody, dim)
+    (model.py:42-50 mot_embedding)."""
+    A_j, A_b, pool, _ = _constants(cfg)
+    tps = cfg.temporal_patch_size
+
+    h = x.transpose(0, 3, 1, 2)  # b t v c -> b c t v
+    h = conv1x1(params["embed"]["conv_in"], h)
+    h = stgcn_block(params["embed"]["joint"], h, A_j)
+    h = jnp.einsum("nctv,vw->nctw", h, pool)
+    # temporal average pool, kernel == stride == tps
+    b, c, t, v = h.shape
+    h = h.reshape(b, c, t // tps, tps, v).mean(axis=3)
+    h = stgcn_block(params["embed"]["body"], h, A_b)
+    # b c t v -> b (t v) c
+    b, c, t, v = h.shape
+    return h.transpose(0, 2, 3, 1).reshape(b, t * v, c)
+
+
+def encode(params: Dict, cfg: GeneratorConfig, x: jnp.ndarray, *,
+           key=None, train=False) -> jnp.ndarray:
+    """Embedding + positional embedding + encoder transformer
+    (model.py:84-93)."""
+    tokens = embed_tokens(params, cfg, x)
+    tokens = tokens + params["pos_emb"][:, : tokens.shape[1]]
+    return transformer(
+        params["encoder"], tokens, None, heads=cfg.encoder_heads,
+        adain_on=False, drop=cfg.dropout, key=key, train=train)
+
+
+def content_feature(encoded: jnp.ndarray) -> jnp.ndarray:
+    """The 'cnt' context feature: per-channel instance norm over tokens
+    (model.py:96-98, net/transformer.py:13-20)."""
+    return mean_variance_norm(encoded)
+
+
+def decode(params: Dict, cfg: GeneratorConfig, src_encoded: jnp.ndarray,
+           cha_encoded: jnp.ndarray, *, key=None, train=False) -> jnp.ndarray:
+    """Decoder transformer + inverse embedding -> motion (model.py:100-106,
+    71-80)."""
+    A_j, A_b, _, unpool = _constants(cfg)
+    tps = cfg.temporal_patch_size
+
+    if key is not None:
+        key, kd = jax.random.split(key)
+    else:
+        kd = None
+    tok = transformer(
+        params["decoder"], src_encoded, cha_encoded, heads=cfg.decoder_heads,
+        adain_on=True, drop=cfg.dropout, key=kd, train=train)
+
+    # b (t v) c -> b c t v
+    b, s, c = tok.shape
+    h = tok.reshape(b, cfg.num_temp, cfg.nbody, c).transpose(0, 3, 1, 2)
+    h = stgcn_block(params["head"]["body"], h, A_b)
+    h = jnp.repeat(h, tps, axis=2)  # nearest-neighbor temporal upsample
+    h = jnp.einsum("nctv,vw->nctw", h, unpool)
+    h = stgcn_block(params["head"]["joint"], h, A_j)
+    h = leaky_relu(h, 0.2)
+    h = conv1x1(params["head"]["conv_out"], h)
+    return h.transpose(0, 2, 3, 1)  # b c t v -> b t v c
+
+
+def forward(params: Dict, cfg: GeneratorConfig, src_X: jnp.ndarray,
+            cha_X: jnp.ndarray, *, extract_feature: bool = False,
+            key=None, train=False):
+    """Full generator forward (model.py:82-106)."""
+    if key is not None:
+        key, k1, k2, k3 = jax.random.split(key, 4)
+    else:
+        k1 = k2 = k3 = None
+    src_encoded = encode(params, cfg, src_X, key=k1, train=train)
+    cha_encoded = encode(params, cfg, cha_X, key=k2, train=train)
+    if extract_feature:
+        return (src_encoded, cha_encoded,
+                content_feature(src_encoded), content_feature(cha_encoded))
+    return decode(params, cfg, src_encoded, cha_encoded, key=k3, train=train)

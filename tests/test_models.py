@@ -1,0 +1,219 @@
+"""Model parity tests: converted torch reference weights -> identical outputs.
+
+Strategy: instantiate the reference torch modules with random init, convert
+their state_dicts through models.convert, and require the JAX forward pass
+to reproduce the torch eval-mode outputs to float32 tolerance.  This checks
+every layer semantic (IN-q/k attention, AdaIN, reflect-pad temporal conv,
+graph einsums, post-norm CVAE stacks) without needing the pretrained
+checkpoints (download-only, absent from the snapshot).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from conftest import add_reference_paths, reference_available
+
+from mocha_sigasia2023_tpu.models import (
+    convert, cvae as jcvae, generator as jgen, graph as jgraph,
+    layers as jlayers, projector as jprj,
+    GeneratorConfig, CVAEConfig, ProjectorConfig,
+)
+
+if not reference_available():  # pragma: no cover
+    pytest.skip("reference repo unavailable", allow_module_level=True)
+
+add_reference_paths()
+from graph import Graph_Joint, Graph_Bodypart, PoolJointToBodypart, \
+    UnpoolBodypartToJoint  # noqa: E402
+from model import Generator as RefGenerator, Projector as RefProjector  # noqa: E402
+from model_CVAE import CVAE as RefCVAE  # noqa: E402
+from transformer import Transformer as RefTransformer, \
+    mean_variance_norm as ref_mvn  # noqa: E402
+
+torch.manual_seed(1777)
+
+MODEL_CFG = {
+    "mot_in_dim": 15, "nframes": 60, "njoints": 24, "nbody": 6,
+    "temporal_patch_size": 4,
+    "encoder_dim": 256, "encoder_depth": 2, "encoder_heads": 4,
+    "encoder_dim_head": 128, "encoder_mlp_dim": 512,
+    "decoder_dim": 256, "decoder_depth": 2, "decoder_heads": 4,
+    "decoder_dim_head": 256, "decoder_mlp_dim": 512,
+    "prj_dim": 1024, "num_patches": -1, "num_classes": 6,
+    "graph": {
+        "joint": {"layout": "mocha", "strategy": "distance", "max_hop": 2},
+        "bodypart": {"layout": "mocha", "strategy": "distance", "max_hop": 1},
+    },
+}
+
+
+class TestGraphs:
+    @pytest.mark.parametrize("layout", ["mocha", "Xia", "ian", "mixamo",
+                                        "bandai", "adult2child"])
+    @pytest.mark.parametrize("strategy", ["uniform", "distance", "spatial"])
+    def test_joint_adjacency(self, layout, strategy):
+        ref = Graph_Joint(layout=layout, strategy=strategy, max_hop=2).A
+        ours = jgraph.joint_adjacency(layout, strategy, 2)
+        np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+    @pytest.mark.parametrize("layout", ["mocha", "Xia", "bandai"])
+    def test_bodypart_adjacency(self, layout):
+        ref = Graph_Bodypart(layout=layout, strategy="distance", max_hop=1).A
+        ours = jgraph.bodypart_adjacency(layout, "distance", 1)
+        np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+    @pytest.mark.parametrize("layout", ["mocha", "Xia", "ian", "mixamo",
+                                        "bandai", "adult2child"])
+    def test_pool_unpool(self, layout):
+        ref_pool = PoolJointToBodypart(layout).weight.numpy()
+        ref_unpool = UnpoolBodypartToJoint(layout).weight.numpy()
+        np.testing.assert_allclose(jgraph.pool_matrix(layout), ref_pool, atol=1e-7)
+        np.testing.assert_allclose(jgraph.unpool_matrix(layout), ref_unpool, atol=1e-7)
+
+
+class TestLayerParity:
+    def test_mean_variance_norm(self):
+        x = torch.randn(2, 90, 256)
+        ref = ref_mvn(x.permute(0, 2, 1)).permute(0, 2, 1).numpy()
+        ours = np.asarray(jlayers.mean_variance_norm(jnp.asarray(x.numpy())))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    @pytest.mark.parametrize("adain", [False, True])
+    def test_transformer_block(self, adain):
+        torch.manual_seed(3)
+        ref = RefTransformer(dim=64, depth=2, heads=2, dim_head=32,
+                             mlp_dim=128, dropout=0.1, adain=adain).eval()
+        sd = {f"x.{k}": v for k, v in ref.state_dict().items()}
+        ours = convert._transformer_from_torch(sd, "x", 2, adain)
+
+        src = torch.randn(2, 30, 64)
+        tar = torch.randn(2, 40, 64)
+        with torch.no_grad():
+            ref_out = ref(src, tar if adain else None).numpy()
+        out = jlayers.transformer(
+            jax.tree.map(jnp.asarray, ours), jnp.asarray(src.numpy()),
+            jnp.asarray(tar.numpy()) if adain else None,
+            heads=2, adain_on=adain)
+        np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5)
+
+
+class TestGeneratorParity:
+    @pytest.fixture(scope="class")
+    def models(self):
+        torch.manual_seed(7)
+        ref = RefGenerator(MODEL_CFG).eval()
+        cfg = GeneratorConfig.from_dict(MODEL_CFG)
+        params = jax.tree.map(
+            jnp.asarray, convert.generator_from_torch(ref.state_dict()))
+        return ref, cfg, params
+
+    def test_forward_parity(self, models):
+        ref, cfg, params = models
+        torch.manual_seed(11)
+        src = torch.randn(2, 60, 24, 15)
+        cha = torch.randn(2, 60, 24, 15)
+        with torch.no_grad():
+            ref_out = ref(src, cha).numpy()
+        out = jgen.forward(params, cfg, jnp.asarray(src.numpy()),
+                           jnp.asarray(cha.numpy()))
+        np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
+
+    def test_extract_feature_parity(self, models):
+        ref, cfg, params = models
+        torch.manual_seed(13)
+        src = torch.randn(2, 60, 24, 15)
+        cha = torch.randn(2, 60, 24, 15)
+        with torch.no_grad():
+            r_se, r_ce, r_sc, r_cc = ref(src, cha, extract_feature=True)
+        se, ce, sc, cc = jgen.forward(
+            params, cfg, jnp.asarray(src.numpy()), jnp.asarray(cha.numpy()),
+            extract_feature=True)
+        np.testing.assert_allclose(np.asarray(se), r_se.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ce), r_ce.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(sc), r_sc.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cc), r_cc.numpy(), atol=2e-4)
+
+    def test_encode_decode_match_monolithic(self, models):
+        ref, cfg, params = models
+        key = jax.random.PRNGKey(0)
+        src = jax.random.normal(key, (1, 60, 24, 15))
+        cha = jax.random.normal(jax.random.fold_in(key, 1), (1, 60, 24, 15))
+        enc_s = jgen.encode(params, cfg, src)
+        enc_c = jgen.encode(params, cfg, cha)
+        out_split = jgen.decode(params, cfg, enc_s, enc_c)
+        out_full = jgen.forward(params, cfg, src, cha)
+        np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_full),
+                                   atol=1e-6)
+
+    def test_jit_compiles(self, models):
+        _, cfg, params = models
+        fwd = jax.jit(lambda p, s, c: jgen.forward(p, cfg, s, c))
+        x = jnp.zeros((1, 60, 24, 15))
+        out = fwd(params, x, x)
+        assert out.shape == (1, 60, 24, 15)
+
+
+class TestCVAEParity:
+    @pytest.fixture(scope="class")
+    def models(self):
+        torch.manual_seed(17)
+        ref = RefCVAE(output_seq=90, latent_dim=256, depth=2, nheads=4,
+                      feedforward_dim=512, dropout=0.1, activation=F.relu).eval()
+        cfg = CVAEConfig(output_seq=90)
+        params = jax.tree.map(jnp.asarray, convert.cvae_from_torch(ref.state_dict()))
+        return ref, cfg, params
+
+    def test_prior_parity(self, models):
+        ref, cfg, params = models
+        torch.manual_seed(19)
+        c = torch.randn(2, 180, 256)
+        with torch.no_grad():
+            r_mu, r_lv = ref.prior(c)
+        mu, lv = jcvae.prior(params, jnp.asarray(c.numpy()), cfg)
+        np.testing.assert_allclose(np.asarray(mu), r_mu.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lv), r_lv.numpy(), atol=2e-5)
+
+    def test_posterior_parity(self, models):
+        ref, cfg, params = models
+        torch.manual_seed(23)
+        x = torch.randn(2, 90, 256)
+        c = torch.randn(2, 180, 256)
+        with torch.no_grad():
+            r_mu, r_lv = ref.encode(x, c)
+        mu, lv = jcvae.posterior(params, jnp.asarray(x.numpy()),
+                                 jnp.asarray(c.numpy()), cfg)
+        np.testing.assert_allclose(np.asarray(mu), r_mu.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lv), r_lv.numpy(), atol=2e-5)
+
+    def test_deterministic_sample_parity(self, models):
+        ref, cfg, params = models
+        torch.manual_seed(29)
+        c = torch.randn(1, 180, 256)
+        with torch.no_grad():
+            r_out = ref.sample(c, deterministic=True).numpy()
+        out = jcvae.sample(params, jnp.asarray(c.numpy()), cfg,
+                           deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), r_out, atol=5e-5)
+        assert out.shape == (1, 90, 256)
+
+
+class TestProjectorParity:
+    def test_projector_all_mode(self):
+        torch.manual_seed(31)
+        ref = RefProjector(MODEL_CFG, mode="all").eval()
+        cfg = ProjectorConfig(mode="all", num_patches=-1)
+        params = jax.tree.map(jnp.asarray,
+                              convert.projector_from_torch(ref.state_dict()))
+        feat = torch.randn(2, 90, 256)
+        patch_id = np.random.RandomState(0).permutation(90)
+        with torch.no_grad():
+            r_out, _ = ref(feat, patch_id)
+        out, pid = jprj.apply_projector(
+            params, cfg, jnp.asarray(feat.numpy()), jnp.asarray(patch_id))
+        np.testing.assert_allclose(np.asarray(out), r_out.numpy(), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(pid), patch_id)
