@@ -1,3 +1,3 @@
 """Data pipeline: preprocessing, feature/database construction, datasets."""
 
-from . import preprocess, windows
+from . import dataset, preprocess, windows
