@@ -1,0 +1,207 @@
+"""End-to-end characterization demo (the reference's test_fullframework.py).
+
+Given a source BVH and a character BVH (plus generator/CVAE checkpoints and
+normalization artifacts), re-synthesizes the source motion in the
+character's style and writes Src_/Ours_ BVHs.  All heavy stages run as
+jitted XLA programs: batched window featurization+encode, then one scanned
+per-frame step (context match -> decode -> root integration -> foot IK).
+
+Checkpoints: accepts either our orbax/msgpack checkpoints or the reference
+torch files (model_ours/pth/gen_125.pt, cvae_020000.pt) via models.convert.
+With --random-init it runs the full pipeline on freshly initialized weights
+(smoke/demo mode when no checkpoint is available).
+
+Run: python -m mocha_sigasia2023_tpu.cli.characterize \
+         --src bvh/Loco_Walk_Neutral_AverageJoe_001.bvh \
+         --cha bvh/Loco_Walk_Neutral_Princess_002.bvh \
+         --gen-ckpt model_ours/pth/gen_125.pt \
+         [--cvae-ckpt .../cvae_020000.pt --cvae-norm .../cvae_norm.npz] \
+         --norm datasets/mocha60/norm.npz --cnt-norm datasets/mocha60/cnt_norm.npz \
+         --out ./results
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io import bvh
+from ..models import CVAEConfig, GeneratorConfig, convert
+from ..models.cvae import init_cvae
+from ..models.generator import init_generator
+from ..runtime import export as rtexport
+from ..runtime import features as rtf
+from ..runtime import stream as rts
+from ..runtime.stream import IKConfig, RuntimeConsts
+from ..utils import ensure_dirs, get_config
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_CONFIG = os.path.join(_HERE, "configs", "config.yaml")
+
+
+def load_generator(args, cfg: GeneratorConfig):
+    if args.gen_ckpt:
+        if args.gen_ckpt.endswith(".pt"):
+            params = convert.load_reference_generator_checkpoint(
+                args.gen_ckpt, use_ema=True,
+                encoder_depth=cfg.encoder_depth, decoder_depth=cfg.decoder_depth)
+        else:
+            from ..train.checkpoint import load_checkpoint
+
+            params = load_checkpoint(args.gen_ckpt)["gen_ema"]
+        return jax.tree.map(jnp.asarray, params)
+    if not args.random_init:
+        raise SystemExit("provide --gen-ckpt or pass --random-init")
+    return init_generator(jax.random.PRNGKey(1777), cfg)
+
+
+def load_cvae(args, cvae_cfg: CVAEConfig):
+    if args.cvae_ckpt:
+        if args.cvae_ckpt.endswith(".pt"):
+            sd = convert.load_torch_file(args.cvae_ckpt)
+            params = convert.cvae_from_torch(sd, depth=cvae_cfg.depth)
+        else:
+            from ..train.checkpoint import load_checkpoint
+
+            params = load_checkpoint(args.cvae_ckpt)["cvae"]
+        return jax.tree.map(jnp.asarray, params)
+    if args.random_init:
+        return init_cvae(jax.random.PRNGKey(7), cvae_cfg)
+    return None
+
+
+def build_consts(norm, cnt_norm, cvae_norm, cha_feats) -> RuntimeConsts:
+    cnt_mean = cnt_norm["mean"]
+    cnt_std = cnt_norm["std"].copy()
+    if cvae_norm is not None:
+        # temp-weighted stds (test_fullframework.py:89-92)
+        temp_weight = cvae_norm["std_weight"]
+        cnt_std = cnt_std / temp_weight
+        src_cnt_mean = cvae_norm["src_cnt_mean"]
+        src_cnt_std = cvae_norm["src_cnt_std"] / temp_weight
+        enc_mean = cvae_norm["cha_encoded_mean"]
+        enc_std = cvae_norm["cha_encoded_std"] / temp_weight
+    else:
+        src_cnt_mean, src_cnt_std = cnt_mean, cnt_std
+        enc_mean = cha_feats["encoded"].mean(axis=0)
+        enc_std = cha_feats["encoded"].std(axis=0) + 1e-6
+
+    cha_cnt_flat = jnp.asarray(
+        ((cha_feats["cnt"] - cnt_mean[None]) / cnt_std[None]).reshape(
+            len(cha_feats["cnt"]), -1), jnp.float32)
+    return RuntimeConsts(
+        Y_mean=jnp.asarray(norm["Y_mean"]),
+        Y_std=jnp.asarray(norm["Y_std"]),
+        cha_encoded=jnp.asarray(cha_feats["encoded"]),
+        cha_cnt_flat=cha_cnt_flat,
+        cha_cnt_sq=jnp.sum(cha_cnt_flat ** 2, axis=-1),
+        cnt_mean=jnp.asarray(cnt_mean, jnp.float32),
+        cnt_std=jnp.asarray(cnt_std, jnp.float32),
+        src_cnt_mean=jnp.asarray(src_cnt_mean, jnp.float32),
+        src_cnt_std=jnp.asarray(src_cnt_std, jnp.float32),
+        cha_encoded_mean=jnp.asarray(enc_mean, jnp.float32),
+        cha_encoded_std=jnp.asarray(enc_std, jnp.float32),
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=DEFAULT_CONFIG)
+    ap.add_argument("--src", required=True, help="source BVH")
+    ap.add_argument("--cha", required=True, help="character BVH")
+    ap.add_argument("--gen-ckpt", default=None)
+    ap.add_argument("--cvae-ckpt", default=None)
+    ap.add_argument("--cvae-norm", default=None, help="cvae_norm.npz")
+    ap.add_argument("--norm", default=None, help="norm.npz (X/Y stats)")
+    ap.add_argument("--cnt-norm", default=None, help="cnt_norm.npz")
+    ap.add_argument("--out", default="./results")
+    ap.add_argument("--random-init", action="store_true",
+                    help="run with fresh weights (smoke/demo mode)")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="deterministic CVAE sampling")
+    ap.add_argument("--no-ik", action="store_true")
+    ap.add_argument("--seed", type=int, default=1777)
+    args = ap.parse_args(argv)
+
+    cfg_dict = get_config(args.config)
+    cfg = GeneratorConfig.from_dict(cfg_dict["model"])
+    cvae_d = cfg_dict.get("cvae", {})
+    cvae_cfg = CVAEConfig(
+        output_seq=cfg.num_tokens,
+        latent_dim=cvae_d.get("latent_dim", 256),
+        depth=cvae_d.get("depth", 2),
+        nheads=cvae_d.get("nheads", 4),
+        feedforward_dim=cvae_d.get("feedforward_dim", 512))
+    rt = cfg_dict.get("runtime", {})
+    ik_cfg = IKConfig(enabled=not args.no_ik,
+                      **{k: v for k, v in rt.get("ik", {}).items()
+                         if k != "enabled"})
+
+    params = load_generator(args, cfg)
+    cvae_params = load_cvae(args, cvae_cfg)
+
+    src_bvh = bvh.load(args.src)
+    cha_bvh = bvh.load(args.cha)
+
+    if args.norm:
+        norm = dict(np.load(args.norm))
+    else:
+        # derive stats from the character clip (demo mode without a dataset)
+        from ..data.dataset import compute_norm_stats
+        from ..data import preprocess as pre
+        from ..data.windows import window_features
+        from ..data.dataset import window_xy_features
+
+        feats = pre.featurize_clip_jit(cha_bvh)
+        w = window_features(feats, rt.get("window", 60), 10, padded=False)
+        X, Y, root = window_xy_features(
+            w["rotations"], w["positions"], w["velocities"],
+            w["angular_velocities"], feats["bone_parents"])
+        norm = compute_norm_stats(np.asarray(X), np.asarray(Y), np.asarray(root))
+        print("note: no --norm given; derived stats from the character clip")
+
+    print("featurizing + encoding source / character clips ...")
+    src_feats = rtf.clip_stream_features(src_bvh, params, cfg, norm)
+    cha_feats = rtf.clip_stream_features(cha_bvh, params, cfg, norm)
+
+    if args.cnt_norm:
+        cnt_norm = dict(np.load(args.cnt_norm))
+    else:
+        cnt_norm = rtf.compute_cnt_norm(cha_feats["encoded"], cha_feats["cnt"])
+        print("note: no --cnt-norm given; derived from the character clip")
+    cvae_norm = dict(np.load(args.cvae_norm)) if args.cvae_norm else None
+
+    consts = build_consts(norm, cnt_norm, cvae_norm, cha_feats)
+    parents = src_feats["bone_parents"]
+
+    print(f"characterizing {len(src_feats['encoded'])} frames ...")
+    out = rts.characterize_clip(
+        params, cfg, cvae_params, cvae_cfg, consts, parents, src_feats,
+        contact_bones=tuple(rt.get("contact_bones", (5, 24))), ik=ik_cfg,
+        dt=rt.get("dt", 1.0 / 60.0), deterministic=args.deterministic,
+        key=jax.random.PRNGKey(args.seed))
+
+    ensure_dirs(args.out)
+    names = src_feats["bone_names"][1:]
+    src_name = os.path.basename(args.src)
+    cha_name = os.path.basename(args.cha)
+    src_out = os.path.join(args.out, "Src_" + src_name)
+    ours_out = os.path.join(
+        args.out, "Ours_" + src_name[:-4] + "_To_" + cha_name)
+    rtexport.save_characterized_bvh(
+        src_out, out["src_pos"], out["src_rot"], parents, names)
+    rtexport.save_characterized_bvh(
+        ours_out, out["ik_pos"], out["ik_rot"], parents, names)
+    cm_out = os.path.join(args.out, "CM_" + src_name[:-4] + "_To_" + cha_name)
+    rtexport.save_characterized_bvh(
+        cm_out, out["cm_pos"], out["cm_rot"], parents, names)
+    print(f"wrote {src_out}\nwrote {ours_out}\nwrote {cm_out}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

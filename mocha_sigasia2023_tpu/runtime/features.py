@@ -1,0 +1,234 @@
+"""Clip -> per-window encoder features for the streaming runtime.
+
+Covers the featurize+encode stage of the demo (test_fullframework.py:124-203)
+and the dataset-wide feature exports:
+  * compute_cnt_norm.py (cnt_norm.npz — dataset mean/std of the context
+    feature) and
+  * collect_CVAE_feature_action.py (per-character encoded/cnt features with
+    action labels, sliding window step 1).
+
+Everything batches: all sliding windows of a clip are featurized in one
+gather and encoded in chunks of jit-compiled batches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.dataset import window_xy_features
+from ..data.preprocess import featurize_clip_jit
+from ..data.windows import padded_window_indices, gather_windows, full_window_indices
+from ..models import generator as gen
+
+
+@functools.lru_cache(maxsize=4)
+def _encode_jit(cfg: gen.GeneratorConfig):
+    @jax.jit
+    def fn(params, X_in):
+        encoded = gen.encode(params, cfg, X_in)
+        return encoded, gen.content_feature(encoded)
+
+    return fn
+
+
+def encode_windows(params, cfg: gen.GeneratorConfig, X: np.ndarray,
+                   norm: Dict[str, np.ndarray], batch: int = 256):
+    """Normalize (dropping the root bone, trainer.py:116) and run the
+    embedding+encoder over windows in jitted chunks.
+
+    X: (N, T, J, 15) raw window features.  Returns (encoded, cnt) as
+    (N, tokens, dim) numpy arrays.
+    """
+    X_mean = norm["X_mean"][None, None]
+    X_std = norm["X_std"][None, None]
+    fn = _encode_jit(cfg)
+    enc_out, cnt_out = [], []
+    n = len(X)
+    for i in range(0, n, batch):
+        xb = X[i:i + batch]
+        pad = 0
+        if len(xb) < batch and n > batch:
+            pad = batch - len(xb)  # keep one compiled shape
+            xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)], axis=0)
+        x_in = jnp.asarray((xb[:, :, 1:] - X_mean[:, :, 1:]) / X_std[:, :, 1:],
+                           jnp.float32)
+        e, c = fn(params, x_in)
+        e, c = np.asarray(e), np.asarray(c)
+        if pad:
+            e, c = e[:-pad], c[:-pad]
+        enc_out.append(e)
+        cnt_out.append(c)
+    return np.concatenate(enc_out), np.concatenate(cnt_out)
+
+
+def clip_stream_features(bvh_data: Dict, params, cfg: gen.GeneratorConfig,
+                         norm: Dict[str, np.ndarray], *, window: int = 60,
+                         mirror: bool = False) -> Dict[str, np.ndarray]:
+    """Full streaming featurization of one clip (test_fullframework.py:124-203):
+    sliding windows every frame, X/Y/root recompute, batched encode.
+
+    Returns per-window arrays: encoded/cnt (N, 90, 256) plus the last-frame
+    pose rows the streaming loop consumes (N, J, .) and per-window root
+    velocities/window-mean hip speeds.
+    """
+    feats = featurize_clip_jit(bvh_data, mirror=mirror,
+                               contact_velocity_threshold=0.5)
+    parents = feats["bone_parents"]
+    T = int(feats["positions"].shape[0])
+    idx, pad = padded_window_indices(T, window, 1)
+
+    Ypos = gather_windows(feats["positions"], idx)
+    Yvel = gather_windows(feats["velocities"], idx, pad)
+    Yrot = gather_windows(feats["rotations"], idx)
+    Yang = gather_windows(feats["angular_velocities"], idx, pad)
+    contacts = gather_windows(feats["contacts"], idx)
+
+    X, Y, root = window_xy_features(Yrot, Ypos, Yvel, Yang, parents)
+    # re-derived parent-local pose (root rows identity/zero): the stream
+    # consumes the LAST frame of each window (test_fullframework.py:458-462)
+    Ypos2 = Y[..., :3]
+    Yrot2 = _rot_from_Y(Y)
+    Yvel2 = Y[..., 9:12]
+    Yang2 = Y[..., 12:15]
+
+    encoded, cnt = encode_windows(params, cfg, np.asarray(X), norm)
+
+    hips_speed_mean = np.asarray(
+        jnp.mean(jnp.linalg.norm(Yvel2[:, :, 1], axis=-1), axis=1))
+
+    return {
+        "encoded": encoded,
+        "cnt": cnt,
+        "pos_last": np.asarray(Ypos2[:, -1]),
+        "rot_last": np.asarray(Yrot2[:, -1]),
+        "vel_last": np.asarray(Yvel2[:, -1]),
+        "ang_last": np.asarray(Yang2[:, -1]),
+        "rvel_last": np.asarray(root[:, -1, :3]),
+        "rang_last": np.asarray(root[:, -1, 3:]),
+        "contact_last": np.asarray(contacts[:, -1]),
+        "hips_speed_mean": hips_speed_mean,
+        "bone_parents": parents,
+        "bone_names": feats["bone_names"],
+    }
+
+
+def _rot_from_Y(Y):
+    from ..kinematics import quat
+
+    b, t, j = Y.shape[:3]
+    return quat.from_xform_xy(Y[..., 3:9].reshape(b, t, j, 3, 2))
+
+
+def database_window_features(db: Dict, *, window: int = 60, step: int = 20,
+                             clip_filter=None):
+    """Window a loaded database per range with labels, full windows only
+    (compute_cnt_norm.py:102-129 semantics).
+
+    clip_filter(style_label, action_label) -> bool optionally restricts to
+    a character/action subset (collect_CVAE_feature_action.py:104-108).
+    """
+    starts, stops = db["range_starts"], db["range_stops"]
+    idx_all, styles, actions = [], [], []
+    for i in range(len(starts)):
+        if clip_filter is not None and not clip_filter(
+                int(db["style_labels"][i]), int(db["action_labels"][i])):
+            continue
+        idx = full_window_indices(int(stops[i] - starts[i]), window, step) \
+            + int(starts[i])
+        idx_all.append(idx)
+        styles += [int(db["style_labels"][i])] * len(idx)
+        actions += [int(db["action_labels"][i])] * len(idx)
+    if not idx_all:
+        raise ValueError("clip_filter selected no clips")
+    idx_all = np.concatenate(idx_all)
+    return idx_all, np.asarray(styles, np.int32), np.asarray(actions, np.int32)
+
+
+def encode_database(db: Dict, params, cfg: gen.GeneratorConfig,
+                    norm: Dict[str, np.ndarray], *, window: int = 60,
+                    step: int = 20, clip_filter=None, batch: int = 256):
+    """Encode database windows -> (encoded, cnt, styles, actions).
+
+    With step=20 this reproduces compute_cnt_norm.py's dataset pass; with
+    step=1 and a clip_filter it reproduces collect_CVAE_feature_action.py's
+    per-character sliding features.
+    """
+    idx, styles, actions = database_window_features(
+        db, window=window, step=step, clip_filter=clip_filter)
+    parents = db["bone_parents"]
+    Ypos = db["bone_positions"].astype(np.float32)[idx]
+    Yvel = db["bone_velocities"].astype(np.float32)[idx]
+    Yrot = db["bone_rotations"].astype(np.float32)[idx]
+    Yang = db["bone_angular_velocities"].astype(np.float32)[idx]
+
+    X, _, _ = window_xy_features(
+        jnp.asarray(Yrot), jnp.asarray(Ypos), jnp.asarray(Yvel),
+        jnp.asarray(Yang), parents)
+    encoded, cnt = encode_windows(params, cfg, np.asarray(X), norm, batch=batch)
+    return encoded, cnt, styles, actions
+
+
+def compute_cnt_norm(encoded: np.ndarray, cnt: np.ndarray):
+    """Dataset context-feature statistics (compute_cnt_norm.py:174-179):
+    mean/std over windows, kept per (token, channel)."""
+    return {
+        "mean": cnt.mean(axis=0),
+        "std": cnt.std(axis=0),
+        "encoded_mean": encoded.mean(axis=0),
+        "encoded_std": encoded.std(axis=0),
+    }
+
+
+def collect_character_features(db: Dict, params, cfg, norm, *,
+                               style_labels: Sequence[int],
+                               action_labels: Sequence[int],
+                               window: int = 60):
+    """Per-character sliding-window feature export
+    (collect_CVAE_feature_action.py:100-189): encoded/cnt at window step 1
+    over the selected style/action clips, with per-clip range bookkeeping.
+
+    Note the reference slides ``for j in range(window, total_frames)`` —
+    i.e. windows [j-window, j) for j in [window, T): T-window windows per
+    clip, full windows only, offset by one from the step-1 full_window set
+    (which would include j=T).  We reproduce that exactly.
+    """
+    starts, stops = db["range_starts"], db["range_stops"]
+    sel_idx, actions = [], []
+    out_starts, out_stops = [], []
+    for i in range(len(starts)):
+        if int(db["style_labels"][i]) not in set(style_labels):
+            continue
+        if int(db["action_labels"][i]) not in set(action_labels):
+            continue
+        T = int(stops[i] - starts[i])
+        rows = np.asarray(
+            [np.arange(j - window, j) for j in range(window, T)],
+            dtype=np.int32) + int(starts[i])
+        if len(rows) == 0:
+            continue
+        sel_idx.append(rows)
+        actions += [int(db["action_labels"][i])] * len(rows)
+        off = 0 if not out_stops else out_stops[-1]
+        out_starts.append(off)
+        out_stops.append(off + (T - window))
+    idx = np.concatenate(sel_idx)
+    parents = db["bone_parents"]
+    X, _, _ = window_xy_features(
+        jnp.asarray(db["bone_rotations"].astype(np.float32)[idx]),
+        jnp.asarray(db["bone_positions"].astype(np.float32)[idx]),
+        jnp.asarray(db["bone_velocities"].astype(np.float32)[idx]),
+        jnp.asarray(db["bone_angular_velocities"].astype(np.float32)[idx]),
+        parents)
+    encoded, cnt = encode_windows(params, cfg, np.asarray(X), norm)
+    return {
+        "encoded": encoded,
+        "cnt": cnt,
+        "range_starts": np.asarray(out_starts, np.int32),
+        "range_stops": np.asarray(out_stops, np.int32),
+        "action_label": np.asarray(actions, np.int32),
+    }

@@ -1,0 +1,377 @@
+"""The streaming characterization loop as one jitted, scannable step.
+
+Semantics target: the frame loop of /root/reference/test_fullframework.py
+(:288-641): per frame — context match (NN over the character database and/or
+CVAE rollout), decode, root-motion integration with the velocity-ratio
+guard, foot-contact locking + two-bone IK fixup, and velocity blending.
+
+TPU-native structure: the whole step is a pure function over a carried
+``StreamCarry`` pytree; `lax.scan` runs clips offline at full device
+throughput, a single jitted step serves live streams, and everything vmaps
+over parallel streams.  The reference's per-frame CPU<->device ping-pong
+(BallTree on CPU, decoder on GPU, NumPy IK) disappears: one XLA program per
+frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..kinematics import quat
+from ..kinematics.inertial import ContactState, contact_update
+from ..models import cvae as jcvae
+from ..models import generator as gen
+from .matching import nn_index
+
+
+class IKConfig(NamedTuple):
+    """Contact/IK constants (test_fullframework.py:109-114)."""
+
+    enabled: bool = True
+    max_length_buffer: float = 0.015
+    foot_height: float = 0.02
+    toe_length: float = 0.15
+    unlock_radius: float = 0.2
+    blending_halflife: float = 0.1
+
+
+class RuntimeConsts(NamedTuple):
+    """Static-per-session arrays closed over by the jitted step."""
+
+    Y_mean: jnp.ndarray          # (J, 15) including root row
+    Y_std: jnp.ndarray           # (J, 15)
+    cha_encoded: jnp.ndarray     # (M, tokens, dim) character database
+    cha_cnt_flat: jnp.ndarray    # (M, tokens*dim) normalized for NN
+    cha_cnt_sq: jnp.ndarray      # (M,)
+    cnt_mean: jnp.ndarray        # (tokens, dim)
+    cnt_std: jnp.ndarray         # (tokens, dim) — already / temp_weight
+    src_cnt_mean: jnp.ndarray    # CVAE conditioning norms (cvae_norm.npz)
+    src_cnt_std: jnp.ndarray
+    cha_encoded_mean: jnp.ndarray
+    cha_encoded_std: jnp.ndarray
+
+
+class StreamCarry(NamedTuple):
+    src_pos0: jnp.ndarray        # (3,) integrated source root position
+    src_rot0: jnp.ndarray        # (4,)
+    trans_prev_pos: jnp.ndarray  # (J, 3) last blended CVAE-stream pose
+    trans_rot0: jnp.ndarray      # (4,) CVAE-stream root rotation
+    ik_prev_pos: jnp.ndarray     # (J, 3) last IK-adjusted pose
+    cm_pos0: jnp.ndarray         # (3,) NN-stream root position
+    cm_rot0: jnp.ndarray         # (4,)
+    prev_cha_encoded: jnp.ndarray  # (tokens, dim)
+    contacts: ContactState       # batched over the 2 contact bones
+    key: jax.Array
+
+
+def _decode_frame(params, cfg, consts: RuntimeConsts, src_enc, cha_enc):
+    """Decode one window pair and split the last frame into pose channels
+    (test_fullframework.py:301-318).  Returns (pos, rot, vel_last, ang,
+    root_joint_speed_mean)."""
+    Ytil = gen.decode(params, cfg, src_enc[None], cha_enc[None])[0]
+    Ytil = Ytil * consts.Y_std[1:] + consts.Y_mean[1:]
+    pos = Ytil[-1, :, :3]
+    txy = Ytil[-1, :, 3:9].reshape(-1, 3, 2)
+    vel_full = Ytil[..., 9:12]
+    ang = Ytil[-1, :, 12:15]
+    rot = quat.from_xform_xy(txy)
+    hips_speed = jnp.mean(jnp.linalg.norm(vel_full[:, 0], axis=-1))
+    return pos, rot, vel_full[-1], ang, hips_speed
+
+
+def _integrate_root(prev_pos0, prev_rot0, rvel, rang, dt):
+    """World-space root integration (test_fullframework.py:476-479)."""
+    rootvel = quat.mul_vec(prev_rot0, rvel)
+    rootang = quat.mul_vec(prev_rot0, rang)
+    rootpos = prev_pos0 + rootvel * dt
+    rootrot = quat.mul(prev_rot0, quat.from_scaled_angle_axis(rootang * dt))
+    return rootpos, rootrot, rootvel, rootang
+
+
+def _guarded_ratio(pred_speed_mean, src_speed_mean):
+    """Velocity-ratio guard (test_fullframework.py:492-495): scale source
+    root velocity by the predicted/source hip-speed ratio, clamped to 1
+    outside [0.33, 3]."""
+    ratio = pred_speed_mean / src_speed_mean
+    bad = (ratio > 3.0) | (ratio < 0.33) | ~jnp.isfinite(ratio)
+    return jnp.where(bad, 1.0, ratio)
+
+
+def _assemble(rootpos, rootrot, rootvel, rootang, pos, rot, vel, ang):
+    """Prepend the integrated root bone row (test_fullframework.py:505-508)."""
+    return (
+        jnp.concatenate([rootpos[None], pos], axis=0),
+        jnp.concatenate([rootrot[None], rot], axis=0),
+        jnp.concatenate([rootvel[None], vel], axis=0),
+        jnp.concatenate([rootang[None], ang], axis=0),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _foot_chain_indices(parents_key, contact_bones):
+    toes = np.asarray(contact_bones, np.int32)
+    parents = np.asarray(parents_key)
+    heels = parents[toes]
+    knees = parents[heels]
+    hips = parents[knees]
+    roots = parents[hips]
+    return toes, heels, knees, hips, roots
+
+
+def _ik_fixup(parents_key, contact_bones, ik: IKConfig, dt,
+              contacts: ContactState, bone_pos, bone_rot, input_state):
+    """Foot-contact locking + two-bone IK (test_fullframework.py:538-623),
+    vectorized over both feet.
+
+    The reference recomputes per-foot partial FK chains with memoization;
+    here one level-scheduled full-skeleton FK feeds both feet (the adjusted
+    hip/knee rotations of the two chains are disjoint, so a single pass is
+    exact).  Returns (new contact state, adjusted rotations).
+    """
+    toes, heels, knees, hips, roots = _foot_chain_indices(
+        parents_key, contact_bones)
+    parents = np.asarray(parents_key)
+
+    grot, gpos = quat.fk(bone_rot, bone_pos, parents)
+
+    new_cs = contact_update(
+        contacts, gpos[toes], input_state,
+        ik.unlock_radius, ik.foot_height, ik.blending_halflife, dt)
+
+    contact_clamped = jnp.concatenate(
+        [
+            new_cs.position[..., 0:1],
+            jnp.maximum(new_cs.position[..., 1:2], ik.foot_height),
+            new_cs.position[..., 2:3],
+        ],
+        axis=-1,
+    )
+
+    target = contact_clamped + (gpos[heels] - gpos[toes])
+    fwd = quat.mul_vec(grot[knees], jnp.asarray([0.0, 1.0, 0.0], bone_pos.dtype))
+
+    new_hip_lr, new_knee_lr = quat.ik_two_bone(
+        bone_rot[hips], bone_rot[knees],
+        gpos[hips], gpos[knees], gpos[heels],
+        target, fwd,
+        grot[hips], grot[knees], grot[roots],
+        ik.max_length_buffer,
+    )
+
+    adjusted = bone_rot.at[hips].set(new_hip_lr).at[knees].set(new_knee_lr)
+    return new_cs, adjusted
+
+
+def make_stream_step(params, cfg: gen.GeneratorConfig,
+                     cvae_params, cvae_cfg: Optional[jcvae.CVAEConfig],
+                     consts: RuntimeConsts, parents,
+                     contact_bones=(5, 24), ik: IKConfig = IKConfig(),
+                     dt: float = 1.0 / 60.0, deterministic: bool = False):
+    """Build the pure per-frame step function.
+
+    step(carry, frame_inputs) -> (carry, outputs); frame_inputs is a dict of
+    per-frame arrays from features.clip_stream_features.
+    """
+    parents_key = tuple(int(p) for p in parents)
+    cbones = tuple(int(b) for b in contact_bones)
+    use_cvae = cvae_params is not None
+
+    def step(carry: StreamCarry, x: Dict):
+        key = carry.key
+        # --- context matching -------------------------------------------
+        src_cnt_nm = (x["cnt"] - consts.cnt_mean) / consts.cnt_std
+        idx = nn_index(src_cnt_nm.reshape(-1), consts.cha_cnt_flat,
+                       consts.cha_cnt_sq)
+        nn_cha_encoded = consts.cha_encoded[idx]
+
+        if use_cvae:
+            condition = jnp.concatenate(
+                [
+                    (x["cnt"] - consts.src_cnt_mean) / consts.src_cnt_std,
+                    (carry.prev_cha_encoded - consts.cha_encoded_mean)
+                    / consts.cha_encoded_std,
+                ],
+                axis=0,
+            )
+            key, k_s = jax.random.split(key)
+            vae_out = jcvae.sample(
+                cvae_params, condition[None], cvae_cfg,
+                key=None if deterministic else k_s,
+                deterministic=deterministic)[0]
+            cvae_cha_encoded = (
+                vae_out * consts.cha_encoded_std + consts.cha_encoded_mean)
+        else:
+            cvae_cha_encoded = nn_cha_encoded
+        prev_cha_encoded = cvae_cha_encoded
+
+        # --- decode both streams ----------------------------------------
+        t_pos, t_rot, t_vel, t_ang, t_speed = _decode_frame(
+            params, cfg, consts, x["encoded"], cvae_cha_encoded)
+        c_pos, c_rot, c_vel, c_ang, c_speed = _decode_frame(
+            params, cfg, consts, x["encoded"], nn_cha_encoded)
+
+        # --- source root integration -------------------------------------
+        s_rootpos, s_rootrot, s_rootvel, s_rootang = _integrate_root(
+            carry.src_pos0, carry.src_rot0, x["rvel_last"], x["rang_last"], dt)
+        src_pos = x["pos_last"].at[0].set(s_rootpos)
+        src_rot = x["rot_last"].at[0].set(s_rootrot)
+        src_vel = x["vel_last"].at[0].set(s_rootvel)
+        src_ang = x["ang_last"].at[0].set(s_rootang)
+
+        # --- CVAE/trans stream root integration --------------------------
+        t_ratio = _guarded_ratio(t_speed, x["hips_speed_mean"])
+        t_rootpos, t_rootrot, t_rootvel, t_rootang = _integrate_root(
+            carry.trans_prev_pos[0], carry.trans_rot0,
+            x["rvel_last"] * t_ratio, x["rang_last"], dt)
+        trans_pos, trans_rot, trans_vel, trans_ang = _assemble(
+            t_rootpos, t_rootrot, t_rootvel, t_rootang,
+            t_pos, t_rot, t_vel, t_ang)
+
+        # --- NN/cm stream root integration -------------------------------
+        c_ratio = _guarded_ratio(c_speed, x["hips_speed_mean"])
+        c_rootpos, c_rootrot, c_rootvel, c_rootang = _integrate_root(
+            carry.cm_pos0, carry.cm_rot0,
+            x["rvel_last"] * c_ratio, x["rang_last"], dt)
+        cm_pos, cm_rot, cm_vel, cm_ang = _assemble(
+            c_rootpos, c_rootrot, c_rootvel, c_rootang,
+            c_pos, c_rot, c_vel, c_ang)
+
+        # --- contact fixup with foot locking + IK -------------------------
+        # blended pose fed to the IK (test_fullframework.py:532-536)
+        ik_blend = 0.5 * (carry.ik_prev_pos + trans_vel * dt) + 0.5 * trans_pos
+        if ik.enabled:
+            new_cs, adjusted_rot = _ik_fixup(
+                parents_key, cbones, ik, dt, carry.contacts,
+                ik_blend, trans_rot, x["contact_last"] > 0.5)
+        else:
+            new_cs, adjusted_rot = carry.contacts, trans_rot
+
+        # --- blending for the raw trans stream ----------------------------
+        trans_blended = (
+            0.5 * (carry.trans_prev_pos + trans_vel * dt) + 0.5 * trans_pos)
+
+        new_carry = StreamCarry(
+            src_pos0=s_rootpos,
+            src_rot0=s_rootrot,
+            trans_prev_pos=trans_blended,
+            trans_rot0=trans_rot[0],
+            ik_prev_pos=ik_blend,
+            cm_pos0=c_rootpos,
+            cm_rot0=c_rootrot,
+            prev_cha_encoded=prev_cha_encoded,
+            contacts=new_cs,
+            key=key,
+        )
+        outputs = {
+            "src_pos": src_pos, "src_rot": src_rot,
+            "src_vel": src_vel, "src_ang": src_ang,
+            "trans_pos": trans_blended, "trans_rot": trans_rot,
+            "ik_pos": ik_blend, "ik_rot": adjusted_rot,
+            "cm_pos": cm_pos, "cm_rot": cm_rot,
+            "contact": x["contact_last"],
+            "nn_index": idx,
+        }
+        return new_carry, outputs
+
+    return step
+
+
+def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
+                contact_bones=(5, 24), dt: float = 1.0 / 60.0,
+                key: Optional[jax.Array] = None):
+    """Frame-0 bootstrap (test_fullframework.py:288-435): NN match, decode,
+    identity-root integration, contact-state reset at the decoded toe pose.
+    Returns (carry, frame0 outputs)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    parents_key = tuple(int(p) for p in parents)
+
+    src_cnt_nm = (frame0["cnt"] - consts.cnt_mean) / consts.cnt_std
+    idx = nn_index(src_cnt_nm.reshape(-1), consts.cha_cnt_flat, consts.cha_cnt_sq)
+    cha_enc = consts.cha_encoded[idx]
+
+    t_pos, t_rot, t_vel, t_ang, t_speed = _decode_frame(
+        params, cfg, consts, frame0["encoded"], cha_enc)
+
+    identity = jnp.asarray([1.0, 0.0, 0.0, 0.0], t_pos.dtype)
+    zero3 = jnp.zeros(3, t_pos.dtype)
+
+    # source bootstrap
+    s_rootpos, s_rootrot, s_rootvel, s_rootang = _integrate_root(
+        zero3, identity, frame0["rvel_last"], frame0["rang_last"], dt)
+    src_pos = frame0["pos_last"].at[0].set(s_rootpos)
+    src_rot = frame0["rot_last"].at[0].set(s_rootrot)
+    src_vel = frame0["vel_last"].at[0].set(s_rootvel)
+    src_ang = frame0["ang_last"].at[0].set(s_rootang)
+
+    # characterized bootstrap (both streams share the NN match at frame 0)
+    ratio = _guarded_ratio(t_speed, frame0["hips_speed_mean"])
+    t_rootpos, t_rootrot, t_rootvel, t_rootang = _integrate_root(
+        zero3, identity, frame0["rvel_last"] * ratio, frame0["rang_last"], dt)
+    trans_pos, trans_rot, trans_vel, trans_ang = _assemble(
+        t_rootpos, t_rootrot, t_rootvel, t_rootang, t_pos, t_rot, t_vel, t_ang)
+
+    # contact state pinned at the decoded toe pose (:412-431)
+    toes = np.asarray(contact_bones, np.int32)
+    toe_pos, toe_vel = [], []
+    for b in toes:
+        gp, gv, _, _ = quat.fk_vel_bone(
+            trans_rot, trans_pos, trans_vel, trans_ang, parents_key, int(b))
+        toe_pos.append(gp)
+        toe_vel.append(gv)
+    cs = ContactState.init(jnp.stack(toe_pos), jnp.stack(toe_vel))
+
+    carry = StreamCarry(
+        src_pos0=s_rootpos, src_rot0=s_rootrot,
+        trans_prev_pos=trans_pos, trans_rot0=trans_rot[0],
+        ik_prev_pos=trans_pos,
+        cm_pos0=t_rootpos, cm_rot0=t_rootrot,
+        prev_cha_encoded=cha_enc,
+        contacts=cs, key=key,
+    )
+    outputs = {
+        "src_pos": src_pos, "src_rot": src_rot,
+        "src_vel": src_vel, "src_ang": src_ang,
+        "trans_pos": trans_pos, "trans_rot": trans_rot,
+        "ik_pos": trans_pos, "ik_rot": trans_rot,
+        "cm_pos": trans_pos, "cm_rot": trans_rot,
+        "contact": frame0["contact_last"],
+        "nn_index": idx,
+    }
+    return carry, outputs
+
+
+def characterize_clip(params, cfg, cvae_params, cvae_cfg,
+                      consts: RuntimeConsts, parents, stream_feats: Dict,
+                      *, contact_bones=(5, 24), ik: IKConfig = IKConfig(),
+                      dt: float = 1.0 / 60.0, deterministic: bool = False,
+                      key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
+    """Offline characterization of a whole clip: frame-0 init + `lax.scan`
+    over the remaining frames, all inside one jit."""
+    step = make_stream_step(params, cfg, cvae_params, cvae_cfg, consts,
+                            parents, contact_bones, ik, dt, deterministic)
+
+    feat_keys = ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
+                 "ang_last", "rvel_last", "rang_last", "contact_last",
+                 "hips_speed_mean")
+    xs_all = {k: jnp.asarray(np.asarray(stream_feats[k])) for k in feat_keys}
+    frame0 = {k: v[0] for k, v in xs_all.items()}
+    xs = {k: v[1:] for k, v in xs_all.items()}
+    xs["contact_last"] = xs["contact_last"].astype(jnp.float32)
+    frame0["contact_last"] = frame0["contact_last"].astype(jnp.float32)
+
+    @jax.jit
+    def run(frame0, xs, key):
+        carry, out0 = init_stream(params, cfg, consts, parents, frame0,
+                                  contact_bones, dt, key)
+        _, outs = lax.scan(step, carry, xs)
+        return jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, outs)
+
+    key = jax.random.PRNGKey(1777) if key is None else key
+    return jax.tree.map(np.asarray, run(frame0, xs, key))

@@ -1,0 +1,373 @@
+"""Streaming-runtime tests.
+
+The crown-jewel parity test re-implements the reference demo's frame loop
+(test_fullframework.py:288-641) as a NumPy/torch oracle — reference quat +
+Inertialization modules, sklearn BallTree, torch decoder — and requires our
+fully-jitted scan to reproduce src / cm (NN) / trans (CVAE) / IK streams.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from conftest import add_reference_paths, reference_available
+from helpers import make_mocha_bvh_data
+
+from mocha_sigasia2023_tpu.data.dataset import compute_norm_stats, window_xy_features
+from mocha_sigasia2023_tpu.models import (
+    CVAEConfig, GeneratorConfig, convert, generator as jgen,
+)
+from mocha_sigasia2023_tpu.runtime import export as jexport
+from mocha_sigasia2023_tpu.runtime import features as rtf
+from mocha_sigasia2023_tpu.runtime import stream as rts
+from mocha_sigasia2023_tpu.runtime.matching import ContextIndex
+from mocha_sigasia2023_tpu.runtime.stream import IKConfig, RuntimeConsts
+
+if not reference_available():  # pragma: no cover
+    pytest.skip("reference repo unavailable", allow_module_level=True)
+
+add_reference_paths()
+import quat as rq  # noqa: E402
+import Inertialization as rinert  # noqa: E402
+from model import Generator as RefGenerator  # noqa: E402
+from model_CVAE import CVAE as RefCVAE  # noqa: E402
+from test_models import MODEL_CFG  # noqa: E402
+
+DT = 1.0 / 60.0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    torch.manual_seed(42)
+    ref_gen = RefGenerator(MODEL_CFG).eval()
+    ref_cvae = RefCVAE(output_seq=90, latent_dim=256, depth=2, nheads=4,
+                       feedforward_dim=512, dropout=0.1,
+                       activation=F.relu).eval()
+
+    cfg = GeneratorConfig.from_dict(MODEL_CFG)
+    params = jax.tree.map(jnp.asarray,
+                          convert.generator_from_torch(ref_gen.state_dict()))
+    cvae_cfg = CVAEConfig(output_seq=90)
+    cvae_params = jax.tree.map(jnp.asarray,
+                               convert.cvae_from_torch(ref_cvae.state_dict()))
+
+    src_bvh = make_mocha_bvh_data(T=100, seed=21)
+    cha_bvh = make_mocha_bvh_data(T=130, seed=22, walk_speed=60.0)
+
+    # normalization stats from the character clip's own windows (any
+    # consistent stats work; both sides share them)
+    from mocha_sigasia2023_tpu.data import preprocess as pre
+    from mocha_sigasia2023_tpu.data.windows import window_features
+    feats = pre.featurize_clip_jit(cha_bvh)
+    w = window_features(feats, 60, 10, padded=False)
+    X, Y, root = window_xy_features(
+        w["rotations"], w["positions"], w["velocities"],
+        w["angular_velocities"], feats["bone_parents"])
+    norm = compute_norm_stats(np.asarray(X), np.asarray(Y), np.asarray(root))
+
+    src_feats = rtf.clip_stream_features(src_bvh, params, cfg, norm)
+    cha_feats = rtf.clip_stream_features(cha_bvh, params, cfg, norm)
+
+    cnt_mean = cha_feats["cnt"].mean(axis=0)
+    cnt_std = cha_feats["cnt"].std(axis=0) + 1e-6
+    enc_mean = cha_feats["encoded"].mean(axis=0)
+    enc_std = cha_feats["encoded"].std(axis=0) + 1e-6
+
+    consts = RuntimeConsts(
+        Y_mean=jnp.asarray(norm["Y_mean"]),
+        Y_std=jnp.asarray(norm["Y_std"]),
+        cha_encoded=jnp.asarray(cha_feats["encoded"]),
+        cha_cnt_flat=jnp.asarray(
+            ((cha_feats["cnt"] - cnt_mean) / cnt_std).reshape(
+                len(cha_feats["cnt"]), -1)),
+        cha_cnt_sq=None,
+        cnt_mean=jnp.asarray(cnt_mean),
+        cnt_std=jnp.asarray(cnt_std),
+        src_cnt_mean=jnp.asarray(cnt_mean),
+        src_cnt_std=jnp.asarray(cnt_std),
+        cha_encoded_mean=jnp.asarray(enc_mean),
+        cha_encoded_std=jnp.asarray(enc_std),
+    )
+    consts = consts._replace(
+        cha_cnt_sq=jnp.sum(consts.cha_cnt_flat ** 2, axis=-1))
+
+    return dict(ref_gen=ref_gen, ref_cvae=ref_cvae, cfg=cfg, params=params,
+                cvae_cfg=cvae_cfg, cvae_params=cvae_params, norm=norm,
+                src_feats=src_feats, cha_feats=cha_feats, consts=consts,
+                parents=src_feats["bone_parents"],
+                names=src_feats["bone_names"])
+
+
+class TestStreamSmoke:
+    def test_characterize_runs_and_shapes(self, setup):
+        s = setup
+        out = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True)
+        N = len(s["src_feats"]["encoded"])
+        assert out["trans_pos"].shape == (N, 25, 3)
+        assert out["ik_rot"].shape == (N, 25, 4)
+        assert np.all(np.isfinite(out["trans_pos"]))
+        assert np.all(np.isfinite(out["ik_rot"]))
+
+    def test_export_bvh_roundtrip(self, setup, tmp_path):
+        s = setup
+        out = rts.characterize_clip(
+            s["params"], s["cfg"], None, None,
+            s["consts"], s["parents"], s["src_feats"])
+        path = str(tmp_path / "ours.bvh")
+        jexport.save_characterized_bvh(
+            path, out["ik_pos"], out["ik_rot"], s["parents"],
+            s["names"][1:])
+        from mocha_sigasia2023_tpu.io import bvh as jbvh
+        loaded = jbvh.load(path)
+        assert loaded["rotations"].shape[0] == out["ik_pos"].shape[0]
+        assert len(loaded["names"]) == 24
+
+
+def reference_oracle_loop(s):
+    """NumPy/torch re-implementation of the reference demo frame loop
+    (test_fullframework.py:288-641) used as the parity oracle."""
+    from sklearn.neighbors import BallTree
+
+    model = s["ref_gen"]
+    cvae = s["ref_cvae"]
+    norm = s["norm"]
+    sf, cf = s["src_feats"], s["cha_feats"]
+    parents = np.asarray(s["parents"])
+    contact_bones = np.array([5, 24])
+
+    Y_mean = norm["Y_mean"][None]
+    Y_std = norm["Y_std"][None]
+    cnt_mean = np.asarray(s["consts"].cnt_mean)
+    cnt_std = np.asarray(s["consts"].cnt_std)
+    enc_mean = np.asarray(s["consts"].cha_encoded_mean)
+    enc_std = np.asarray(s["consts"].cha_encoded_std)
+
+    ik_max_length_buffer, ik_foot_height = 0.015, 0.02
+    ik_unlock_radius, ik_halflife = 0.2, 0.1
+
+    cha_cnt_nm = (cf["cnt"] - cnt_mean[None]) / cnt_std[None]
+    tree = BallTree(cha_cnt_nm.reshape(len(cf["cnt"]), -1))
+
+    def decode(src_enc, cha_enc):
+        with torch.no_grad():
+            tok = model.decoder(torch.as_tensor(src_enc[None]),
+                                torch.as_tensor(cha_enc[None]))
+            Ytil = model.to_mot(tok)[0].numpy()
+        Ytil = Ytil * Y_std[:, 1:] + Y_mean[:, 1:]
+        pos = Ytil[-1, :, :3]
+        txy = Ytil[-1, :, 3:9].reshape(-1, 3, 2)
+        vel_full = Ytil[..., 9:12]
+        ang = Ytil[-1, :, 12:15]
+        rot = rq.from_xform_xy(txy)
+        return pos, rot, vel_full, ang
+
+    def cvae_sample_det(condition):
+        with torch.no_grad():
+            out = cvae.sample(torch.as_tensor(condition[None]),
+                              deterministic=True)[0].numpy()
+        return out
+
+    N = len(sf["encoded"])
+    I4 = np.array([1.0, 0, 0, 0], np.float32)
+
+    # ---- frame 0 (test_fullframework.py:288-435) -------------------------
+    idx0 = tree.query(((sf["cnt"][0] - cnt_mean) / cnt_std)
+                      .reshape(1, -1), k=1, return_distance=False)[0, 0]
+    prev_cha_encoded = cf["encoded"][idx0]
+
+    t_pos, t_rot, t_vel_full, t_ang = decode(sf["encoded"][0], prev_cha_encoded)
+
+    src_rootvel = rq.mul_vec(I4, sf["rvel_last"][0])
+    src_rootang = rq.mul_vec(I4, sf["rang_last"][0])
+    src_rootpos = src_rootvel * DT
+    src_rootrot = rq.mul(I4, rq.from_scaled_angle_axis(src_rootang * DT))
+    src_pose = [dict(pos=sf["pos_last"][0].copy(), rot=sf["rot_last"][0].copy())]
+    src_pose[0]["pos"][0] = src_rootpos
+    src_pose[0]["rot"][0] = src_rootrot
+
+    ratio = np.linalg.norm(t_vel_full[:, 0], axis=1).mean() / sf["hips_speed_mean"][0]
+    if ratio > 3.0 or ratio < 0.33:
+        ratio = 1.0
+    t_rvel = sf["rvel_last"][0] * ratio
+    t_rang = sf["rang_last"][0]
+    t_rootvel = rq.mul_vec(I4, t_rvel)
+    t_rootang = rq.mul_vec(I4, t_rang)
+    t_rootpos = t_rootvel * DT
+    t_rootrot = rq.mul(I4, rq.from_scaled_angle_axis(t_rootang * DT))
+
+    trans_pos = np.concatenate([t_rootpos[None], t_pos], axis=0)
+    trans_vel = np.concatenate([t_rootvel[None], t_vel_full[-1]], axis=0)
+    trans_rot = np.concatenate([t_rootrot[None], t_rot], axis=0)
+    trans_ang = np.concatenate([t_rootang[None], t_ang], axis=0)
+
+    trans_pos_list = [trans_pos]
+    trans_rot_list = [trans_rot]
+    ik_pos_list = [trans_pos]
+    ik_rot_list = [trans_rot]
+    cm_pos_list = [trans_pos]
+    cm_rot_list = [trans_rot]
+
+    # contact init (:391-431)
+    contact_states = np.zeros(2, bool)
+    contact_locks = np.zeros(2, bool)
+    contact_positions = np.zeros((2, 3))
+    contact_velocities = np.zeros((2, 3))
+    contact_points = np.zeros((2, 3))
+    contact_targets = np.zeros((2, 3))
+    contact_off_p = np.zeros((2, 3))
+    contact_off_v = np.zeros((2, 3))
+    for bs in range(2):
+        bp, bv, _, _ = rq.fk_vel_bone(
+            trans_pos, trans_vel, trans_rot, trans_ang, parents,
+            contact_bones[bs])
+        contact_positions[bs] = bp
+        contact_velocities[bs] = bv
+        contact_points[bs] = bp
+        contact_targets[bs] = bp
+
+    # ---- frames 1..N-1 ----------------------------------------------------
+    for i in range(1, N):
+        idx = tree.query(((sf["cnt"][i] - cnt_mean) / cnt_std)
+                         .reshape(1, -1), k=1, return_distance=False)[0, 0]
+        condition = np.concatenate([
+            (sf["cnt"][i] - cnt_mean) / cnt_std,
+            (prev_cha_encoded - enc_mean) / enc_std], axis=0)
+        vae_out = cvae_sample_det(condition.astype(np.float32))
+        curr_cha_encoded = vae_out * enc_std + enc_mean
+        prev_cha_encoded = curr_cha_encoded.copy()
+
+        t_pos, t_rot, t_vel_full, t_ang = decode(
+            sf["encoded"][i], curr_cha_encoded.astype(np.float32))
+        c_pos, c_rot, c_vel_full, c_ang = decode(
+            sf["encoded"][i], cf["encoded"][idx])
+
+        # src root integration (:476-489)
+        pr = src_pose[-1]["rot"][0]
+        src_rootvel = rq.mul_vec(pr, sf["rvel_last"][i])
+        src_rootang = rq.mul_vec(pr, sf["rang_last"][i])
+        src_rootpos = src_pose[-1]["pos"][0] + src_rootvel * DT
+        src_rootrot = rq.mul(pr, rq.from_scaled_angle_axis(src_rootang * DT))
+        pose = dict(pos=sf["pos_last"][i].copy(), rot=sf["rot_last"][i].copy())
+        pose["pos"][0] = src_rootpos
+        pose["rot"][0] = src_rootrot
+        src_pose.append(pose)
+
+        # trans stream (:492-509)
+        ratio = np.linalg.norm(t_vel_full[:, 0], axis=1).mean() / sf["hips_speed_mean"][i]
+        if ratio > 3.0 or ratio < 0.33:
+            ratio = 1.0
+        t_rvel = sf["rvel_last"][i] * ratio
+        t_rang = sf["rang_last"][i]
+        prev_rot0 = trans_rot_list[-1][0]
+        t_rootvel = rq.mul_vec(prev_rot0, t_rvel)
+        t_rootang = rq.mul_vec(prev_rot0, t_rang)
+        t_rootpos = trans_pos_list[-1][0] + t_rootvel * DT
+        t_rootrot = rq.mul(prev_rot0, rq.from_scaled_angle_axis(t_rootang * DT))
+        trans_pos = np.concatenate([t_rootpos[None], t_pos], axis=0)
+        trans_vel = np.concatenate([t_rootvel[None], t_vel_full[-1]], axis=0)
+        trans_rot = np.concatenate([t_rootrot[None], t_rot], axis=0)
+
+        # cm stream (:512-528)
+        c_ratio = np.linalg.norm(c_vel_full[:, 0], axis=1).mean() / sf["hips_speed_mean"][i]
+        if c_ratio > 3.0 or c_ratio < 0.33:
+            c_ratio = 1.0
+        c_rvel = sf["rvel_last"][i] * c_ratio
+        c_rang = sf["rang_last"][i]
+        c_prev_rot0 = cm_rot_list[-1][0]
+        c_rootvel = rq.mul_vec(c_prev_rot0, c_rvel)
+        c_rootang = rq.mul_vec(c_prev_rot0, c_rang)
+        c_rootpos = cm_pos_list[-1][0] + c_rootvel * DT
+        c_rootrot = rq.mul(c_prev_rot0, rq.from_scaled_angle_axis(c_rang * 0 + c_rootang * DT))
+        cm_pos_list.append(np.concatenate([c_rootpos[None], c_pos], axis=0))
+        cm_rot_list.append(np.concatenate([c_rootrot[None], c_rot], axis=0))
+
+        # IK fixup (:530-623)
+        bone_positions = ((ik_pos_list[-1] + trans_vel * DT) * 0.5
+                          + trans_pos * 0.5).copy()
+        bone_rotations = trans_rot.copy()
+        adjusted_pos = bone_positions.copy()
+        adjusted_rot = bone_rotations.copy()
+        curr_contacts = sf["contact_last"][i].astype(bool)
+
+        gbp = np.zeros((len(parents), 3))
+        gbr = np.zeros((len(parents), 4))
+        gbc = np.zeros(len(parents), bool)
+        for bs in range(2):
+            toe = contact_bones[bs]
+            heel = parents[toe]
+            knee = parents[heel]
+            hip = parents[knee]
+            root_b = parents[hip]
+
+            gbc[:] = False
+            gbp, gbr, gbc = rq.fk_partial(
+                gbp, gbr, gbc, bone_positions, bone_rotations, parents, toe)
+
+            (contact_states[bs], contact_locks[bs], contact_positions[bs],
+             contact_velocities[bs], contact_points[bs], contact_targets[bs],
+             contact_off_p[bs], contact_off_v[bs]) = rinert.contact_update(
+                contact_states[bs], contact_locks[bs], contact_positions[bs],
+                contact_velocities[bs], contact_points[bs],
+                contact_targets[bs], contact_off_p[bs], contact_off_v[bs],
+                gbp[toe], bool(curr_contacts[bs]), ik_unlock_radius,
+                ik_foot_height, ik_halflife, DT)
+
+            clamp = contact_positions[bs]
+            clamp[1] = max(clamp[1], ik_foot_height)
+
+            for bone in [heel, knee, hip, root_b]:
+                gbp, gbr, gbc = rq.fk_partial(
+                    gbp, gbr, gbc, bone_positions, bone_rotations, parents, bone)
+
+            adjusted_rot[hip], adjusted_rot[knee] = rq.ik_two_bone(
+                adjusted_rot[hip], adjusted_rot[knee],
+                gbp[hip], gbp[knee], gbp[heel],
+                clamp + (gbp[heel] - gbp[toe]),
+                rq.mul_vec(gbr[knee], np.array([0.0, 1.0, 0.0], np.float32)),
+                gbr[hip], gbr[knee], gbr[root_b], ik_max_length_buffer)
+
+        trans_pos_list.append(
+            (trans_pos_list[-1] + trans_vel * DT) * 0.5 + trans_pos * 0.5)
+        trans_rot_list.append(trans_rot)
+        ik_pos_list.append(adjusted_pos)
+        ik_rot_list.append(adjusted_rot)
+
+    return {
+        "src_pos": np.stack([p["pos"] for p in src_pose]),
+        "src_rot": np.stack([p["rot"] for p in src_pose]),
+        "trans_pos": np.stack(trans_pos_list),
+        "trans_rot": np.stack(trans_rot_list),
+        "ik_pos": np.stack(ik_pos_list),
+        "ik_rot": np.stack(ik_rot_list),
+        "cm_pos": np.stack(cm_pos_list),
+        "cm_rot": np.stack(cm_rot_list),
+    }
+
+
+class TestStreamParity:
+    def test_full_loop_matches_reference_oracle(self, setup):
+        s = setup
+        ours = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True)
+        ref = reference_oracle_loop(s)
+
+        np.testing.assert_allclose(ours["src_pos"], ref["src_pos"],
+                                   atol=2e-3, rtol=1e-3)
+        qd = np.abs(np.sum(ours["src_rot"] * ref["src_rot"], axis=-1))
+        np.testing.assert_array_less(1.0 - 2e-4, qd)
+
+        np.testing.assert_allclose(ours["cm_pos"], ref["cm_pos"],
+                                   atol=5e-3, rtol=1e-2)
+        np.testing.assert_allclose(ours["trans_pos"], ref["trans_pos"],
+                                   atol=5e-3, rtol=1e-2)
+        np.testing.assert_allclose(ours["ik_pos"], ref["ik_pos"],
+                                   atol=5e-3, rtol=1e-2)
+        qd = np.abs(np.sum(ours["ik_rot"] * ref["ik_rot"], axis=-1))
+        np.testing.assert_array_less(1.0 - 5e-3, qd)
