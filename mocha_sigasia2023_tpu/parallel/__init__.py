@@ -1,0 +1,5 @@
+"""Device-mesh / sharding utilities (SPMD data parallelism via pjit)."""
+
+from .mesh import (
+    make_mesh, shard_batch, replicate, data_parallel_jit,
+)

@@ -1,0 +1,224 @@
+"""Generator trainer: the full MOCHA objective under SPMD data parallelism.
+
+Semantics target: /root/reference/trainer.py (Trainer:19-247,
+compute_gen_loss:103-167).  Per step: six generator forwards —
+translate(src->cha), reconstruct(src->src), reconstruct(cha->cha), a
+feature-extraction pass for PatchNCE, and two cycle passes — with
+FK-in-the-loss reconstruction, InfoNCE context preservation, gradient
+clipping at 1.0, AdamW + epoch-step LR decay, and an EMA copy of the
+generator (beta 0.999) used at inference.
+
+TPU-native structure: one jitted train_step over a TrainState pytree;
+batches shard over the mesh's ``data`` axis and XLA all-reduces gradients
+over ICI (replacing nn.DataParallel).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import generator as gen
+from ..models import projector as prj
+from ..models.generator import GeneratorConfig
+from ..models.projector import ProjectorConfig
+from ..parallel import make_mesh, replicate, shard_batch
+from . import checkpoint as ckpt
+from .losses import contrastive_acc, convert_YtilToX, patch_nce_loss, recon_criterion
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]     # {'gen': ..., 'prj': ...}
+    gen_ema: Dict[str, Any]
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float, weight_decay: float, lr_drop_epochs: int,
+                   steps_per_epoch: int, grad_clip: float = 1.0,
+                   gamma: float = 0.1):
+    """AdamW + global-norm clip + StepLR-style staircase decay
+    (trainer.py:37-40, 78, 98)."""
+    schedule = optax.exponential_decay(
+        init_value=lr,
+        transition_steps=max(lr_drop_epochs * steps_per_epoch, 1),
+        decay_rate=gamma,
+        staircase=True,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+
+
+def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
+                     batch_src, batch_cha, norm, parents, weights,
+                     rng, train: bool = True):
+    """The full generator objective (trainer.py:103-167).  Returns
+    (total, metrics dict)."""
+    X_mean = norm["X_mean"][None, None]
+    X_std = norm["X_std"][None, None]
+    Y_mean = norm["Y_mean"][None, None]
+    Y_std = norm["Y_std"][None, None]
+
+    src_X, cha_X = batch_src["X"], batch_cha["X"]
+    src_Y, cha_Y = batch_src["Y"], batch_cha["Y"]
+
+    src_in = (src_X[:, :, 1:] - X_mean[:, :, 1:]) / X_std[:, :, 1:]
+    cha_in = (cha_X[:, :, 1:] - X_mean[:, :, 1:]) / X_std[:, :, 1:]
+
+    ks = jax.random.split(rng, 8)
+    gp = params["gen"]
+
+    trans_Ytil = gen.forward(gp, gen_cfg, src_in, cha_in,
+                             key=ks[0], train=train)
+    recon_src = gen.forward(gp, gen_cfg, src_in, src_in,
+                            key=ks[1], train=train)
+    recon_cha = gen.forward(gp, gen_cfg, cha_in, cha_in,
+                            key=ks[2], train=train)
+
+    trans_dn = trans_Ytil * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
+    trans_X = convert_YtilToX(trans_dn, src_Y[:, :, 0:1], parents)
+    trans_in = (trans_X[:, :, 1:] - X_mean[:, :, 1:]) / X_std[:, :, 1:]
+
+    recon_src_dn = recon_src * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
+    recon_cha_dn = recon_cha * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
+    loss_recon = 0.5 * (recon_criterion(recon_src_dn, src_Y, parents)
+                        + recon_criterion(recon_cha_dn, cha_Y, parents))
+
+    # PatchNCE context preservation (trainer.py:138-142).  With
+    # num_patches=-1 ('all' mode) every token is a patch and the loss is
+    # permutation-invariant, so the sample order is fixed under jit.
+    _, _, src_cnt, trans_cnt = gen.forward(
+        gp, gen_cfg, src_in, trans_in, extract_feature=True,
+        key=ks[3], train=train)
+    feat_k, patch_id = prj.apply_projector(params["prj"], prj_cfg, trans_cnt)
+    feat_q, _ = prj.apply_projector(params["prj"], prj_cfg, src_cnt, patch_id)
+    loss_nce, logits = patch_nce_loss(feat_q, feat_k)
+    top1, top5 = contrastive_acc(logits)
+
+    cyc_src = gen.forward(gp, gen_cfg, trans_in, src_in,
+                          key=ks[4], train=train)
+    cyc_cha = gen.forward(gp, gen_cfg, cha_in, trans_in,
+                          key=ks[5], train=train)
+    cyc_src_dn = cyc_src * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
+    cyc_cha_dn = cyc_cha * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
+    loss_cyc = 0.5 * (recon_criterion(cyc_src_dn, src_Y, parents)
+                      + recon_criterion(cyc_cha_dn, cha_Y, parents))
+
+    total = (weights["rec_w"] * loss_recon
+             + weights["nce_w"] * loss_nce
+             + weights["cyc_w"] * loss_cyc)
+    metrics = {
+        "gen/loss_total": total,
+        "gen/loss_recon": loss_recon,
+        "gen/loss_nce_cnt": loss_nce,
+        "gen/cnt_acc_top1": top1,
+        "gen/cnt_acc_top5": top5,
+        "gen/loss_cyc": loss_cyc,
+    }
+    return total, metrics
+
+
+class GeneratorTrainer:
+    """Owns params/EMA/optimizer and the jitted SPMD train step
+    (role of trainer.Trainer, trainer.py:19-101)."""
+
+    def __init__(self, config: Dict, steps_per_epoch: int,
+                 mesh=None, seed: int = 1777):
+        self.config = config
+        self.gen_cfg = GeneratorConfig.from_dict(config["model"])
+        self.prj_cfg = ProjectorConfig(
+            mode="all",
+            num_patches=config["model"].get("num_patches", -1),
+            encoder_dim=self.gen_cfg.encoder_dim,
+            prj_dim=config["model"].get("prj_dim", 1024),
+            nframes=self.gen_cfg.nframes,
+            temporal_patch_size=self.gen_cfg.temporal_patch_size)
+        parents = np.asarray(config["dataset"]["mocha"]["parents"])
+        self.parents = np.concatenate([[-1], parents + 1])
+        self.weights = {k: float(config[k]) for k in ("rec_w", "nce_w", "cyc_w")}
+        self.ema_beta = float(config.get("ema_beta", 0.999))
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        key = jax.random.PRNGKey(seed)
+        k_gen, k_prj = jax.random.split(key)
+        gen_params = gen.init_generator(k_gen, self.gen_cfg)
+        prj_params = prj.init_projector(k_prj, self.prj_cfg)
+
+        self.tx = make_optimizer(
+            lr=float(config["lr_gen"]),
+            weight_decay=float(config["weight_decay_gen"]),
+            lr_drop_epochs=int(config["lr_drop"]),
+            steps_per_epoch=steps_per_epoch,
+            grad_clip=float(config.get("grad_clip", 1.0)))
+
+        params = {"gen": gen_params, "prj": prj_params}
+        state = TrainState(
+            params=params,
+            gen_ema=jax.tree.map(jnp.copy, gen_params),
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32))
+        self.state = replicate(self.mesh, state)
+        self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    def _step_impl(self, state: TrainState, batch_src, batch_cha, norm, rng):
+        def loss_fn(params):
+            return compute_gen_loss(
+                params, self.gen_cfg, self.prj_cfg, batch_src, batch_cha,
+                norm, self.parents, self.weights, rng, train=True)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = self.tx.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gen_ema = optax.incremental_update(
+            params["gen"], state.gen_ema, 1.0 - self.ema_beta)
+        return TrainState(params, gen_ema, opt_state, state.step + 1), metrics
+
+    def train_step(self, batch_src: Dict, batch_cha: Dict, norm: Dict,
+                   rng) -> Dict[str, float]:
+        batch_src = shard_batch(self.mesh, batch_src)
+        batch_cha = shard_batch(self.mesh, batch_cha)
+        self.state, metrics = self._train_step(
+            self.state, batch_src, batch_cha, norm, rng)
+        return metrics
+
+    # -- checkpointing (trainer.py:210-247) --------------------------------
+
+    def save(self, model_dir: str, epoch: int) -> str:
+        path = ckpt.checkpoint_path(model_dir, epoch)
+        state = jax.tree.map(np.asarray, self.state)
+        ckpt.save_checkpoint(path, {
+            "gen": state.params["gen"],
+            "prj": state.params["prj"],
+            "gen_ema": state.gen_ema,
+            "opt_state": state.opt_state,
+        })
+        return path
+
+    def load(self, path: str, resume: bool = False) -> int:
+        state = jax.tree.map(np.asarray, self.state)
+        saved = ckpt.load_checkpoint(path)
+        params = {"gen": saved["gen"], "prj": saved["prj"]}
+        opt_state = state.opt_state
+        if resume and "opt_state" in saved:
+            from flax import serialization
+
+            opt_state = serialization.from_state_dict(
+                state.opt_state, saved["opt_state"])
+        new_state = TrainState(
+            params=params, gen_ema=saved["gen_ema"], opt_state=opt_state,
+            step=state.step)
+        self.state = replicate(self.mesh, jax.tree.map(jnp.asarray, new_state))
+        return ckpt.epoch_from_path(path)
+
+    @property
+    def gen_ema_params(self):
+        return self.state.gen_ema

@@ -1,0 +1,192 @@
+"""Training-stack tests: loss parity with the reference, trainer smoke runs
+on the virtual 8-device CPU mesh, checkpoint roundtrips."""
+
+import os
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from conftest import add_reference_paths, reference_available
+from helpers import MOCHA_PARENTS
+
+from mocha_sigasia2023_tpu.train import losses as jlosses
+from mocha_sigasia2023_tpu.train.trainer import GeneratorTrainer
+from mocha_sigasia2023_tpu.train.trainer_cvae import (
+    CVAETrainer, CVAETrainerConfig, temp_weight_matrix,
+)
+from mocha_sigasia2023_tpu.train import checkpoint as jckpt
+from mocha_sigasia2023_tpu.parallel import make_mesh
+from mocha_sigasia2023_tpu.data.dataset import MotionDataset, iterate_batches
+
+if not reference_available():  # pragma: no cover
+    pytest.skip("reference repo unavailable", allow_module_level=True)
+
+add_reference_paths()
+import trainer as ref_trainer  # noqa: E402
+
+MOCHA_PARENTS_25 = np.concatenate([[-1], MOCHA_PARENTS + 1])
+torch.manual_seed(0)
+
+
+class TestLossParity:
+    def test_recon_criterion(self):
+        B, T, J = 2, 8, 25
+        gt = torch.randn(B, T, J, 15)
+        pred = torch.randn(B, T, J - 1, 15)
+        ref = ref_trainer.recon_criterion(pred, gt, MOCHA_PARENTS_25).item()
+        ours = jlosses.recon_criterion(
+            jnp.asarray(pred.numpy()), jnp.asarray(gt.numpy()),
+            MOCHA_PARENTS_25)
+        np.testing.assert_allclose(float(ours), ref, rtol=1e-4)
+
+    def test_convert_YtilToX(self):
+        B, T, J = 2, 6, 25
+        pred = torch.randn(B, T, J - 1, 15)
+        root = torch.randn(B, T, 1, 15)
+        ref = ref_trainer.convert_YtilToX(pred, root, MOCHA_PARENTS_25).numpy()
+        ours = jlosses.convert_YtilToX(
+            jnp.asarray(pred.numpy()), jnp.asarray(root.numpy()),
+            MOCHA_PARENTS_25)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-3)
+
+    def test_patch_nce_loss(self):
+        n, d = 64, 32
+        q = torch.randn(n, d)
+        k = torch.randn(n, d)
+        fake = types.SimpleNamespace(
+            config={"nce_includes_all_negatives_from_minibatch": True})
+        ref_loss, ref_logits, _ = ref_trainer.Trainer.patch_nce_loss(
+            fake, q.clone(), k.clone())
+        ours, logits = jlosses.patch_nce_loss(
+            jnp.asarray(q.numpy()), jnp.asarray(k.numpy()))
+        np.testing.assert_allclose(float(ours), ref_loss.item(), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(),
+                                   atol=1e-4)
+
+    def test_contrastive_acc(self):
+        logits = jnp.asarray(np.random.RandomState(0).randn(40, 10))
+        top1, top5 = jlosses.contrastive_acc(logits)
+        ref1 = np.mean(np.argmax(np.asarray(logits), axis=1) == 0) * 100
+        np.testing.assert_allclose(float(top1), ref1, atol=1e-5)
+
+    def test_kl_normal_closed_form(self):
+        rng = np.random.RandomState(3)
+        mu_po, mu_pr = rng.randn(4, 8), rng.randn(4, 8)
+        lv_po, lv_pr = rng.randn(4, 8) * 0.3, rng.randn(4, 8) * 0.3
+        expected = 0.5 * np.sum(
+            lv_pr - lv_po + (np.exp(lv_po) + (mu_po - mu_pr) ** 2)
+            / np.exp(lv_pr) - 1.0, axis=-1).clip(min=0)
+        ours = jlosses.kl_normal(*(jnp.asarray(a) for a in
+                                   (mu_po, lv_po, mu_pr, lv_pr)))
+        np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-5)
+
+    def test_temp_weight_matches_reference_construction(self):
+        from einops import rearrange as re_
+
+        w = np.linspace(1.0, 3.0, num=15)
+        w = np.repeat(w[:, None], 6 * 256, axis=1)
+        ref = re_(w, "t (v c) -> (t v) c", v=6)
+        np.testing.assert_allclose(temp_weight_matrix(), ref, rtol=1e-6)
+
+
+SMALL_CONFIG = {
+    "name": "test_model",
+    "dataset": {"mocha": {"parents": MOCHA_PARENTS.tolist()}},
+    "model": {
+        "mot_in_dim": 15, "nframes": 60, "njoints": 24, "nbody": 6,
+        "temporal_patch_size": 4,
+        "encoder_dim": 64, "encoder_depth": 1, "encoder_heads": 2,
+        "encoder_dim_head": 32, "encoder_mlp_dim": 128,
+        "decoder_dim": 64, "decoder_depth": 1, "decoder_heads": 2,
+        "decoder_dim_head": 32, "decoder_mlp_dim": 128,
+        "prj_dim": 64, "num_patches": -1,
+        "graph": {
+            "joint": {"layout": "mocha", "strategy": "distance", "max_hop": 2},
+            "bodypart": {"layout": "mocha", "strategy": "distance", "max_hop": 1},
+        },
+    },
+    "lr_gen": 1e-4, "weight_decay_gen": 1e-4, "lr_drop": 100,
+    "rec_w": 1, "nce_w": 0.1, "cyc_w": 1, "ema_beta": 0.999,
+}
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    from test_dataset import build_synthetic_database
+
+    d = tmp_path_factory.mktemp("train_ds")
+    build_synthetic_database(str(d / "database.bin"), n_clips=2, T=140)
+    return MotionDataset(str(d), "train")
+
+
+class TestGeneratorTrainer:
+    def test_train_steps_on_mesh(self, tiny_dataset):
+        mesh = make_mesh()  # 8 virtual CPU devices
+        assert mesh.devices.size == 8
+        trainer = GeneratorTrainer(SMALL_CONFIG, steps_per_epoch=2, mesh=mesh)
+        norm = tiny_dataset.norm
+        key = jax.random.PRNGKey(0)
+
+        losses = []
+        it = iterate_batches(tiny_dataset, 8, shuffle=True, seed=0)
+        batches = list(it)
+        ema_before = np.asarray(
+            jax.tree.leaves(trainer.state.gen_ema)[0]).copy()
+        for i in range(3):
+            key, sub = jax.random.split(key)
+            b = batches[i % len(batches)]
+            m = trainer.train_step(b, batches[(i + 1) % len(batches)],
+                                   norm, sub)
+            losses.append(float(m["gen/loss_total"]))
+        assert all(np.isfinite(losses))
+        assert int(trainer.state.step) == 3
+        ema_after = np.asarray(jax.tree.leaves(trainer.state.gen_ema)[0])
+        assert not np.allclose(ema_before, ema_after)
+
+    def test_checkpoint_roundtrip(self, tiny_dataset, tmp_path):
+        trainer = GeneratorTrainer(SMALL_CONFIG, steps_per_epoch=2)
+        path = trainer.save(str(tmp_path), epoch=25)
+        assert jckpt.epoch_from_path(path) == 25
+
+        trainer2 = GeneratorTrainer(SMALL_CONFIG, steps_per_epoch=2, seed=99)
+        epoch = trainer2.load(path, resume=True)
+        assert epoch == 25
+        a = jax.tree.leaves(trainer.state.params["gen"])[0]
+        b = jax.tree.leaves(trainer2.state.params["gen"])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert jckpt.latest_checkpoint(str(tmp_path)) == path
+
+
+class TestCVAETrainer:
+    def test_rollout_iterations(self):
+        rng = np.random.RandomState(0)
+        N, S, T, D = 60, 90, 10, 32
+        n_src, n_cha = 80, 70
+        tc = CVAETrainerConfig(
+            latent_dim=D, depth=1, nheads=2, feedforward_dim=64, nseq=S,
+            rollout_steps=5, batch_size=4, teacher_iters=2, ramping_iters=2,
+            student_iters=2, kl_anneal_end=4)
+        src_cnt = rng.randn(n_src, S, D).astype(np.float32)
+        cha_cnt = rng.randn(n_cha, S, D).astype(np.float32)
+        cha_enc = rng.randn(n_cha, S, D).astype(np.float32)
+        trainer = CVAETrainer(
+            tc,
+            src_cnt=src_cnt, src_action=np.zeros(n_src, np.int32),
+            src_range_starts=np.array([0]), src_range_stops=np.array([n_src]),
+            cha_cnt=cha_cnt, cha_encoded=cha_enc,
+            cha_action=np.zeros(n_cha, np.int32),
+            cha_range_starts=np.array([0]), cha_range_stops=np.array([n_cha]),
+            cnt_mean=cha_cnt.mean(0), cnt_std=cha_cnt.std(0) + 1e-6,
+            target_actions=[0])
+        m1 = trainer.train_iteration(0)
+        m2 = trainer.train_iteration(1)
+        assert m1 is not None and m2 is not None
+        assert np.isfinite(m1["cvae/encoded_loss"])
+        assert np.isfinite(m2["cvae/kl_loss"])
+        arts = trainer.norm_artifacts()
+        assert arts["std_weight"].shape == (S, D)
