@@ -119,8 +119,10 @@ def load(filename_or_buffer, order: str | None = None) -> Dict:
             frametime = float(tok[2])
             break
 
-    # bulk-decode the frame block in one pass
-    data = np.array(" ".join(lines[i:]).split(), dtype=np.float64)
+    # bulk-decode the frame block in one pass (native strtod when built)
+    from .native import parse_floats
+
+    data = parse_floats(" ".join(lines[i:]))
     positions = np.repeat(offsets_np[None], fnum, axis=0)
     rotations = np.zeros((fnum, J, 3), dtype=np.float64)
 
@@ -216,20 +218,16 @@ def save(filename, data: Dict, frametime: float = 1.0 / 60.0,
     buf.write(f"Frames: {len(rots)}\n")
     buf.write(f"Frame Time: {frametime:f}\n")
 
+    # assemble the channel matrix once (vectorized), format natively
+    from .native import format_frames
+
     perm = [_AXIS_INDEX[a] for a in order]
-    for fi in range(rots.shape[0]):
-        parts = []
-        for j in save_order:
-            r = rots[fi, j]
-            if save_positions or j == 0:
-                p = poss[fi, j]
-                parts.append(
-                    f"{p[0]:f} {p[1]:f} {p[2]:f} "
-                    f"{r[perm[0]]:f} {r[perm[1]]:f} {r[perm[2]]:f} "
-                )
-            else:
-                parts.append(f"{r[perm[0]]:f} {r[perm[1]]:f} {r[perm[2]]:f} ")
-        buf.write("".join(parts) + "\n")
+    blocks = []
+    for j in save_order:
+        if save_positions or j == 0:
+            blocks.append(poss[:, j, :3])
+        blocks.append(rots[:, j][:, perm])
+    buf.write(format_frames(np.concatenate(blocks, axis=1)))
 
     out = buf.getvalue()
     if hasattr(filename, "write"):

@@ -206,12 +206,20 @@ def attention(p, src, tar=None, *, heads, adain=False, drop=0.0,
         return t_.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
 
     q, k, v = split(q), split(k), split(v)
-    dots = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-    attn = jax.nn.softmax(dots, axis=-1)
-    if train and key is not None:
-        key, sub = jax.random.split(key)
-        attn = dropout(attn, drop, sub, train)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    use_fused = False
+    if not (train and key is not None):
+        from ..ops.attention import fused_attention, fused_attention_enabled
+
+        use_fused = fused_attention_enabled()
+    if use_fused:
+        out = fused_attention(q, k, v, scale=scale)
+    else:
+        dots = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        attn = jax.nn.softmax(dots, axis=-1)
+        if train and key is not None:
+            key, sub = jax.random.split(key)
+            attn = dropout(attn, drop, sub, train)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
     if "to_out" in p:
         out = linear(p["to_out"], out)

@@ -168,21 +168,23 @@ def _ik_fixup(parents_key, contact_bones, ik: IKConfig, dt,
     return new_cs, adjusted
 
 
-def make_stream_step(params, cfg: gen.GeneratorConfig,
-                     cvae_params, cvae_cfg: Optional[jcvae.CVAEConfig],
-                     consts: RuntimeConsts, parents,
+def make_stream_step(cfg: gen.GeneratorConfig,
+                     cvae_cfg: Optional[jcvae.CVAEConfig], parents,
                      contact_bones=(5, 24), ik: IKConfig = IKConfig(),
-                     dt: float = 1.0 / 60.0, deterministic: bool = False):
+                     dt: float = 1.0 / 60.0, deterministic: bool = False,
+                     use_cvae: bool = True):
     """Build the pure per-frame step function.
 
-    step(carry, frame_inputs) -> (carry, outputs); frame_inputs is a dict of
-    per-frame arrays from features.clip_stream_features.
+    step(ctx, carry, frame_inputs) -> (carry, outputs) where ctx =
+    (params, cvae_params, consts) is passed explicitly (NOT closed over) so
+    jitted callers take weights and the character database as arguments —
+    closed-over device arrays would be baked into the HLO as constants.
     """
     parents_key = tuple(int(p) for p in parents)
     cbones = tuple(int(b) for b in contact_bones)
-    use_cvae = cvae_params is not None
 
-    def step(carry: StreamCarry, x: Dict):
+    def step(ctx, carry: StreamCarry, x: Dict):
+        params, cvae_params, consts = ctx
         key = carry.key
         # --- context matching -------------------------------------------
         src_cnt_nm = (x["cnt"] - consts.cnt_mean) / consts.cnt_std
@@ -353,8 +355,9 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
                       key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
     """Offline characterization of a whole clip: frame-0 init + `lax.scan`
     over the remaining frames, all inside one jit."""
-    step = make_stream_step(params, cfg, cvae_params, cvae_cfg, consts,
-                            parents, contact_bones, ik, dt, deterministic)
+    use_cvae = cvae_params is not None
+    step = make_stream_step(cfg, cvae_cfg, parents, contact_bones, ik, dt,
+                            deterministic, use_cvae=use_cvae)
 
     feat_keys = ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
                  "ang_last", "rvel_last", "rang_last", "contact_last",
@@ -366,12 +369,64 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
     frame0["contact_last"] = frame0["contact_last"].astype(jnp.float32)
 
     @jax.jit
-    def run(frame0, xs, key):
+    def run(params, cvae_params, consts, frame0, xs, key):
+        ctx = (params, cvae_params, consts)
         carry, out0 = init_stream(params, cfg, consts, parents, frame0,
                                   contact_bones, dt, key)
-        _, outs = lax.scan(step, carry, xs)
+        _, outs = lax.scan(lambda c, x: step(ctx, c, x), carry, xs)
         return jax.tree.map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, outs)
 
     key = jax.random.PRNGKey(1777) if key is None else key
-    return jax.tree.map(np.asarray, run(frame0, xs, key))
+    return jax.tree.map(
+        np.asarray, run(params, cvae_params, consts, frame0, xs, key))
+
+
+def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
+                      consts: RuntimeConsts, parents, *,
+                      contact_bones=(5, 24), ik: IKConfig = IKConfig(),
+                      dt: float = 1.0 / 60.0, deterministic: bool = False):
+    """Batched-streams characterizer: vmap the per-frame step over S
+    parallel streams and scan over time — the ">=10k frames/sec/chip" play
+    (SURVEY.md §5: scale by batching streams, not sharding a window).
+
+    Returns a jitted fn(frame0, xs, keys) where frame0 pytree leaves have
+    leading dim S, xs leaves (T-1, S, ...), keys (S, 2).
+    """
+    use_cvae = cvae_params is not None
+    step = make_stream_step(cfg, cvae_cfg, parents, contact_bones, ik, dt,
+                            deterministic, use_cvae=use_cvae)
+
+    @jax.jit
+    def run(params, cvae_params, consts, frame0, xs, keys):
+        ctx = (params, cvae_params, consts)
+
+        def init_one(f0, key):
+            return init_stream(params, cfg, consts, parents, f0,
+                               contact_bones, dt, key)
+
+        carry, out0 = jax.vmap(init_one)(frame0, keys)
+        step_v = jax.vmap(lambda c, x: step(ctx, c, x))
+        _, outs = lax.scan(step_v, carry, xs)
+        # outs: (T-1, S, ...) -> prepend frame 0 -> (T, S, ...)
+        return jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, outs)
+
+    def runner(frame0, xs, keys):
+        return run(params, cvae_params, consts, frame0, xs, keys)
+
+    return runner
+
+
+def stack_stream_inputs(stream_feats: Dict):
+    """Split featurized-clip arrays into (frame0, xs) pytrees for
+    make_batch_runner; leading axes (S, T, ...) -> frame0 (S, ...),
+    xs (T-1, S, ...)."""
+    feat_keys = ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
+                 "ang_last", "rvel_last", "rang_last", "contact_last",
+                 "hips_speed_mean")
+    arrs = {k: jnp.asarray(np.asarray(stream_feats[k])) for k in feat_keys}
+    arrs["contact_last"] = arrs["contact_last"].astype(jnp.float32)
+    frame0 = {k: v[:, 0] for k, v in arrs.items()}
+    xs = {k: jnp.moveaxis(v[:, 1:], 0, 1) for k, v in arrs.items()}
+    return frame0, xs

@@ -1,0 +1,66 @@
+"""Pallas kernel correctness (interpret mode on CPU) + native codec tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mocha_sigasia2023_tpu.ops.attention import (
+    fused_attention, set_fused_attention,
+)
+from mocha_sigasia2023_tpu.io import native
+
+
+class TestFusedAttention:
+    @pytest.mark.parametrize("shape", [(2, 4, 90, 128), (1, 4, 90, 256),
+                                       (2, 2, 90, 64)])
+    def test_matches_xla_reference(self, shape):
+        b, h, n, d = shape
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, shape)
+        k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, n, d))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, n, d))
+        scale = d ** -0.5
+
+        ref = jnp.einsum(
+            "bhnm,bhmd->bhnd",
+            jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale, -1),
+            v)
+        out = fused_attention(q, k, v, scale=scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_cross_attention_shapes(self):
+        q = jnp.ones((1, 2, 90, 64))
+        k = jnp.ones((1, 2, 45, 64))
+        v = jnp.ones((1, 2, 45, 64))
+        out = fused_attention(q, k, v, scale=0.125, interpret=True)
+        assert out.shape == (1, 2, 90, 64)
+
+    def test_layer_dispatch_flag(self):
+        from mocha_sigasia2023_tpu.ops.attention import fused_attention_enabled
+
+        set_fused_attention(True)
+        assert fused_attention_enabled()
+        set_fused_attention(False)
+        assert not fused_attention_enabled()
+
+
+class TestNativeCodec:
+    def test_parse_floats_matches_numpy(self):
+        text = "1.5 -2.25e3 0.001\n4 -0.0 1e-8\t7"
+        ref = np.array(text.split(), dtype=np.float64)
+        np.testing.assert_array_equal(native.parse_floats(text), ref)
+
+    def test_format_frames_printf_compatible(self):
+        vals = np.array([[1.5, -2.0], [0.125, 3.0]])
+        s = native.format_frames(vals)
+        assert s == "1.500000 -2.000000 \n0.125000 3.000000 \n"
+
+    def test_roundtrip_large(self):
+        rng = np.random.RandomState(0)
+        vals = rng.randn(200, 72)
+        s = native.format_frames(vals)
+        back = native.parse_floats(s).reshape(200, 72)
+        np.testing.assert_allclose(back, vals, atol=1e-6)
