@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--db-size", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no-cvae", action="store_true")
+    ap.add_argument("--single-stream", action="store_true",
+                    help="production path only (skip the NN cm decode)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 decoder/CVAE matmuls, f32 pose math")
     args = ap.parse_args()
 
     import jax
@@ -80,8 +84,15 @@ def main():
         [[-1], np.array([-1, 0, 1, 2, 3, 0, 5, 6, 7, 8, 9, 10, 11, 8, 13,
                          14, 8, 16, 17, 18, 0, 20, 21, 22]) + 1])
 
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+    if args.bf16:
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        if cvae_params is not None:
+            cvae_params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), cvae_params)
     run = make_batch_runner(params, cfg, cvae_params, cvae_cfg, consts,
-                            parents)
+                            parents, compute_cm=not args.single_stream,
+                            compute_dtype=compute_dtype)
     frame0, xs = stack_stream_inputs(feats)
     keys = jax.random.split(jax.random.PRNGKey(7), S)
 

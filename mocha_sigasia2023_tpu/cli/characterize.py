@@ -125,6 +125,8 @@ def main(argv=None):
                     help="deterministic CVAE sampling")
     ap.add_argument("--no-ik", action="store_true")
     ap.add_argument("--seed", type=int, default=1777)
+    ap.add_argument("--viz", default=None, metavar="FILE.mp4",
+                    help="render src/cm/trans/ik side by side to a video")
     args = ap.parse_args(argv)
 
     cfg_dict = get_config(args.config)
@@ -200,6 +202,21 @@ def main(argv=None):
     rtexport.save_characterized_bvh(
         cm_out, out["cm_pos"], out["cm_rot"], parents, names)
     print(f"wrote {src_out}\nwrote {ours_out}\nwrote {cm_out}")
+
+    if args.viz:
+        import matplotlib
+        matplotlib.use("Agg")
+        from ..viz import animation_plot
+
+        contact_bones = np.asarray(rt.get("contact_bones", (5, 24)))
+        anims = [
+            [out["src_pos"], out["src_rot"], out["contact"], contact_bones, parents],
+            [out["cm_pos"], out["cm_rot"], out["contact"], contact_bones, parents],
+            [out["trans_pos"], out["trans_rot"], out["contact"], contact_bones, parents],
+            [out["ik_pos"], out["ik_rot"], out["contact"], contact_bones, parents],
+        ]
+        animation_plot(anims, save_path=args.viz, show=False)
+        print(f"wrote {args.viz}")
     return out
 
 

@@ -143,7 +143,7 @@ def embed_tokens(params: Dict, cfg: GeneratorConfig, x: jnp.ndarray) -> jnp.ndar
     h = x.transpose(0, 3, 1, 2)  # b t v c -> b c t v
     h = conv1x1(params["embed"]["conv_in"], h)
     h = stgcn_block(params["embed"]["joint"], h, A_j)
-    h = jnp.einsum("nctv,vw->nctw", h, pool)
+    h = jnp.einsum("nctv,vw->nctw", h, pool.astype(h.dtype))
     # temporal average pool, kernel == stride == tps
     b, c, t, v = h.shape
     h = h.reshape(b, c, t // tps, tps, v).mean(axis=3)
@@ -190,7 +190,7 @@ def decode(params: Dict, cfg: GeneratorConfig, src_encoded: jnp.ndarray,
     h = tok.reshape(b, cfg.num_temp, cfg.nbody, c).transpose(0, 3, 1, 2)
     h = stgcn_block(params["head"]["body"], h, A_b)
     h = jnp.repeat(h, tps, axis=2)  # nearest-neighbor temporal upsample
-    h = jnp.einsum("nctv,vw->nctw", h, unpool)
+    h = jnp.einsum("nctv,vw->nctw", h, unpool.astype(h.dtype))
     h = stgcn_block(params["head"]["joint"], h, A_j)
     h = leaky_relu(h, 0.2)
     h = conv1x1(params["head"]["conv_out"], h)

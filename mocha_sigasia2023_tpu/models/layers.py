@@ -104,9 +104,9 @@ def mean_variance_norm(x, eps=1e-5, axis=-2):
 
 
 def conv1x1(p, x):
-    """Pointwise Conv2d on (n, c, t, v) tensors."""
+    """Pointwise Conv2d on (n, c, t, v) tensors (compute in weight dtype)."""
     w = p["weight"][:, :, 0, 0]
-    y = jnp.einsum("nctv,oc->notv", x, w)
+    y = jnp.einsum("nctv,oc->notv", x.astype(w.dtype), w)
     if "bias" in p:
         y = y + p["bias"][None, :, None, None]
     return y
@@ -116,6 +116,7 @@ def temporal_conv(p, x, *, stride=1, reflect_pad=True):
     """Conv2d with kernel (k, 1) over the time axis of (n, c, t, v), with
     the reference's reflect same-padding (net/blocks.py:112-118)."""
     k = p["weight"].shape[2]
+    x = x.astype(p["weight"].dtype)
     if reflect_pad and k > 1:
         pad = (k - 1) // 2
         x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
@@ -148,7 +149,7 @@ def spatial_conv(p, x, A):
     y = conv1x1(p, x)
     n, kc, t, v = y.shape
     y = y.reshape(n, K, kc // K, t, v)
-    return jnp.einsum("nkctv,kvw->nctw", y, A)
+    return jnp.einsum("nkctv,kvw->nctw", y, A.astype(y.dtype))
 
 
 def stgcn_block(p, x, A, *, activation="lrelu", t_stride=1):

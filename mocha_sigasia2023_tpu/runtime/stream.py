@@ -70,19 +70,35 @@ class StreamCarry(NamedTuple):
     key: jax.Array
 
 
-def _decode_frame(params, cfg, consts: RuntimeConsts, src_enc, cha_enc):
-    """Decode one window pair and split the last frame into pose channels
-    (test_fullframework.py:301-318).  Returns (pos, rot, vel_last, ang,
-    root_joint_speed_mean)."""
-    Ytil = gen.decode(params, cfg, src_enc[None], cha_enc[None])[0]
+def _decode_frames(params, cfg, consts: RuntimeConsts, src_enc, cha_encs,
+                   compute_dtype=None):
+    """Decode one source window against K character encodings in ONE
+    batched decoder call and split each last frame into pose channels
+    (test_fullframework.py:301-318).  Returns per-K tuples (pos, rot,
+    vel_last, ang, root_joint_speed_mean).  ``compute_dtype=bfloat16`` runs
+    the decoder matmuls in bf16 (pass bf16-cast params), f32 pose math."""
+    K = cha_encs.shape[0]
+    src_pair = jnp.broadcast_to(src_enc[None], (K,) + src_enc.shape)
+    if compute_dtype is not None:
+        src_pair = src_pair.astype(compute_dtype)
+        cha_encs = cha_encs.astype(compute_dtype)
+    Ytil = gen.decode(params, cfg, src_pair, cha_encs)
+    Ytil = Ytil.astype(jnp.float32)
     Ytil = Ytil * consts.Y_std[1:] + consts.Y_mean[1:]
-    pos = Ytil[-1, :, :3]
-    txy = Ytil[-1, :, 3:9].reshape(-1, 3, 2)
+    pos = Ytil[:, -1, :, :3]
+    txy = Ytil[:, -1, :, 3:9].reshape(K, -1, 3, 2)
     vel_full = Ytil[..., 9:12]
-    ang = Ytil[-1, :, 12:15]
+    ang = Ytil[:, -1, :, 12:15]
     rot = quat.from_xform_xy(txy)
-    hips_speed = jnp.mean(jnp.linalg.norm(vel_full[:, 0], axis=-1))
-    return pos, rot, vel_full[-1], ang, hips_speed
+    hips_speed = jnp.mean(jnp.linalg.norm(vel_full[:, :, 0], axis=-1), axis=-1)
+    return pos, rot, vel_full[:, -1], ang, hips_speed
+
+
+def _decode_frame(params, cfg, consts: RuntimeConsts, src_enc, cha_enc,
+                  compute_dtype=None):
+    out = _decode_frames(params, cfg, consts, src_enc, cha_enc[None],
+                         compute_dtype)
+    return tuple(a[0] for a in out)
 
 
 def _integrate_root(prev_pos0, prev_rot0, rvel, rang, dt):
@@ -172,7 +188,8 @@ def make_stream_step(cfg: gen.GeneratorConfig,
                      cvae_cfg: Optional[jcvae.CVAEConfig], parents,
                      contact_bones=(5, 24), ik: IKConfig = IKConfig(),
                      dt: float = 1.0 / 60.0, deterministic: bool = False,
-                     use_cvae: bool = True):
+                     use_cvae: bool = True, compute_cm: bool = True,
+                     compute_dtype=None):
     """Build the pure per-frame step function.
 
     step(ctx, carry, frame_inputs) -> (carry, outputs) where ctx =
@@ -201,22 +218,31 @@ def make_stream_step(cfg: gen.GeneratorConfig,
                 ],
                 axis=0,
             )
+            if compute_dtype is not None:
+                condition = condition.astype(compute_dtype)
             key, k_s = jax.random.split(key)
             vae_out = jcvae.sample(
                 cvae_params, condition[None], cvae_cfg,
                 key=None if deterministic else k_s,
-                deterministic=deterministic)[0]
+                deterministic=deterministic)[0].astype(jnp.float32)
             cvae_cha_encoded = (
                 vae_out * consts.cha_encoded_std + consts.cha_encoded_mean)
         else:
             cvae_cha_encoded = nn_cha_encoded
         prev_cha_encoded = cvae_cha_encoded
 
-        # --- decode both streams ----------------------------------------
+        # --- decode both streams (separate calls: XLA lays these out
+        # better than a stacked batch-2 decode under the stream vmap) ------
         t_pos, t_rot, t_vel, t_ang, t_speed = _decode_frame(
-            params, cfg, consts, x["encoded"], cvae_cha_encoded)
-        c_pos, c_rot, c_vel, c_ang, c_speed = _decode_frame(
-            params, cfg, consts, x["encoded"], nn_cha_encoded)
+            params, cfg, consts, x["encoded"], cvae_cha_encoded,
+            compute_dtype)
+        if compute_cm and use_cvae:
+            c_pos, c_rot, c_vel, c_ang, c_speed = _decode_frame(
+                params, cfg, consts, x["encoded"], nn_cha_encoded,
+                compute_dtype)
+        else:
+            c_pos, c_rot, c_vel, c_ang, c_speed = (
+                t_pos, t_rot, t_vel, t_ang, t_speed)
 
         # --- source root integration -------------------------------------
         s_rootpos, s_rootrot, s_rootvel, s_rootang = _integrate_root(
@@ -352,12 +378,15 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
                       consts: RuntimeConsts, parents, stream_feats: Dict,
                       *, contact_bones=(5, 24), ik: IKConfig = IKConfig(),
                       dt: float = 1.0 / 60.0, deterministic: bool = False,
+                      compute_cm: bool = True, compute_dtype=None,
                       key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
     """Offline characterization of a whole clip: frame-0 init + `lax.scan`
     over the remaining frames, all inside one jit."""
     use_cvae = cvae_params is not None
     step = make_stream_step(cfg, cvae_cfg, parents, contact_bones, ik, dt,
-                            deterministic, use_cvae=use_cvae)
+                            deterministic, use_cvae=use_cvae,
+                            compute_cm=compute_cm,
+                            compute_dtype=compute_dtype)
 
     feat_keys = ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
                  "ang_last", "rvel_last", "rang_last", "contact_last",
@@ -385,7 +414,8 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
 def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                       consts: RuntimeConsts, parents, *,
                       contact_bones=(5, 24), ik: IKConfig = IKConfig(),
-                      dt: float = 1.0 / 60.0, deterministic: bool = False):
+                      dt: float = 1.0 / 60.0, deterministic: bool = False,
+                      compute_cm: bool = True, compute_dtype=None):
     """Batched-streams characterizer: vmap the per-frame step over S
     parallel streams and scan over time — the ">=10k frames/sec/chip" play
     (SURVEY.md §5: scale by batching streams, not sharding a window).
@@ -395,7 +425,9 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
     """
     use_cvae = cvae_params is not None
     step = make_stream_step(cfg, cvae_cfg, parents, contact_bones, ik, dt,
-                            deterministic, use_cvae=use_cvae)
+                            deterministic, use_cvae=use_cvae,
+                            compute_cm=compute_cm,
+                            compute_dtype=compute_dtype)
 
     @jax.jit
     def run(params, cvae_params, consts, frame0, xs, keys):

@@ -71,20 +71,17 @@ def animation_plot(animations: List[Sequence], *, fps: int = 60,
     ax.set_zticks([])
     ax.view_init(20, -60)
 
-    # checkerboard floor
+    # checkerboard floor as one pcolormesh-style surface (a per-tile
+    # plot_surface loop is prohibitively slow to rasterize)
     tiles = 8
-    tile = scale / 2
-    for ix in range(-tiles, tiles):
-        for iz in range(-tiles, tiles):
-            if (ix + iz) % 2 == 0:
-                continue
-            xs = [ix * tile, (ix + 1) * tile]
-            zs = [iz * tile, (iz + 1) * tile]
-            ax.plot_surface(
-                np.array([[xs[0], xs[1]], [xs[0], xs[1]]]),
-                np.array([[zs[0], zs[0]], [zs[1], zs[1]]]),
-                np.zeros((2, 2)), color="lightgray", alpha=0.25,
-                linewidth=0, shade=False)
+    grid = np.linspace(-scale, scale, tiles + 1)
+    gx, gz = np.meshgrid(grid, grid)
+    checker = (np.indices((tiles, tiles)).sum(axis=0) % 2).astype(float)
+    fc = np.empty((tiles, tiles, 4))
+    fc[checker == 0] = (0.85, 0.85, 0.85, 0.25)
+    fc[checker == 1] = (0.6, 0.6, 0.6, 0.25)
+    ax.plot_surface(gx, gz, np.zeros_like(gx), facecolors=fc,
+                    linewidth=0, shade=False, rstride=1, cstride=1)
 
     T = min(g.shape[0] for g in gpos_all)
     parents_list = [np.asarray(a[4]) for a in animations]

@@ -1,0 +1,117 @@
+"""Feature-export pipeline tests (cnt_norm + per-character CVAE features).
+
+Covers runtime.features.encode_database / collect_character_features /
+compute_cnt_norm — the roles of /root/reference/compute_cnt_norm.py and
+collect_CVAE_feature_action.py.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from conftest import add_reference_paths, reference_available
+
+from mocha_sigasia2023_tpu.io.database import load_database
+from mocha_sigasia2023_tpu.models import GeneratorConfig, convert
+from mocha_sigasia2023_tpu.runtime import features as rtf
+from mocha_sigasia2023_tpu.data.dataset import (
+    MotionDataset, compute_norm_stats,
+)
+
+if not reference_available():  # pragma: no cover
+    pytest.skip("reference repo unavailable", allow_module_level=True)
+
+add_reference_paths()
+from test_dataset import build_synthetic_database  # noqa: E402
+from test_models import MODEL_CFG  # noqa: E402
+from model import Generator as RefGenerator  # noqa: E402
+from transformer import mean_variance_norm as ref_mvn  # noqa: E402
+import quat as rq  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("feat_ds")
+    build_synthetic_database(str(d / "database.bin"), n_clips=2, T=140)
+    db = load_database(str(d / "database.bin"))
+    # norm stats via the dataset path (also writes norm.npz)
+    ds = MotionDataset(str(d), "train")
+    torch.manual_seed(5)
+    ref_gen = RefGenerator(MODEL_CFG).eval()
+    cfg = GeneratorConfig.from_dict(MODEL_CFG)
+    params = jax.tree.map(jnp.asarray,
+                          convert.generator_from_torch(ref_gen.state_dict()))
+    return dict(db=db, norm=ds.norm, cfg=cfg, params=params, ref_gen=ref_gen)
+
+
+class TestEncodeDatabase:
+    def test_matches_reference_encoder_pass(self, setup):
+        """encode_database must equal running the torch reference encoder
+        over the same normalized windows (compute_cnt_norm.py:131-169)."""
+        s = setup
+        encoded, cnt, styles, actions = rtf.encode_database(
+            s["db"], s["params"], s["cfg"], s["norm"], window=60, step=20)
+
+        # reproduce the reference pipeline for the same windows
+        from mocha_sigasia2023_tpu.data.dataset import window_xy_features
+        idx, styles2, actions2 = rtf.database_window_features(
+            s["db"], window=60, step=20)
+        X, _, _ = window_xy_features(
+            jnp.asarray(s["db"]["bone_rotations"].astype(np.float32)[idx]),
+            jnp.asarray(s["db"]["bone_positions"].astype(np.float32)[idx]),
+            jnp.asarray(s["db"]["bone_velocities"].astype(np.float32)[idx]),
+            jnp.asarray(s["db"]["bone_angular_velocities"].astype(np.float32)[idx]),
+            s["db"]["bone_parents"])
+        X = np.asarray(X)
+        Xn = (X[:, :, 1:] - s["norm"]["X_mean"][None, None, 1:]) \
+            / s["norm"]["X_std"][None, None, 1:]
+        model = s["ref_gen"]
+        with torch.no_grad():
+            tokens = model.mot_embedding(torch.as_tensor(Xn))
+            tokens = tokens + model.pos_emb[:, : tokens.shape[1]]
+            ref_encoded = model.encoder(tokens)
+            ref_cnt = ref_mvn(ref_encoded.permute(0, 2, 1)).permute(0, 2, 1)
+        np.testing.assert_allclose(encoded, ref_encoded.numpy(), atol=5e-4)
+        np.testing.assert_allclose(cnt, ref_cnt.numpy(), atol=5e-3)
+        np.testing.assert_array_equal(styles, styles2)
+        np.testing.assert_array_equal(actions, actions2)
+
+    def test_cnt_norm_stats(self, setup):
+        s = setup
+        encoded, cnt, _, _ = rtf.encode_database(
+            s["db"], s["params"], s["cfg"], s["norm"])
+        stats = rtf.compute_cnt_norm(encoded, cnt)
+        assert stats["mean"].shape == (90, 256)
+        np.testing.assert_allclose(stats["mean"], cnt.mean(axis=0), atol=1e-6)
+
+
+class TestCollectCharacterFeatures:
+    def test_range_bookkeeping_matches_reference_slicing(self, setup):
+        """collect_CVAE_feature_action.py:119-129: per selected clip, the
+        window count is total_frames - window and ranges are contiguous."""
+        s = setup
+        db = s["db"]
+        styles = sorted(set(int(x) for x in db["style_labels"]))
+        actions = sorted(set(int(x) for x in db["action_labels"]))
+        out = rtf.collect_character_features(
+            db, s["params"], s["cfg"], s["norm"],
+            style_labels=styles[:1], action_labels=actions, window=60)
+
+        sel = [i for i in range(len(db["range_starts"]))
+               if int(db["style_labels"][i]) == styles[0]]
+        expected = sum(
+            int(db["range_stops"][i] - db["range_starts"][i]) - 60
+            for i in sel)
+        assert out["encoded"].shape[0] == expected
+        assert out["range_stops"][-1] == expected
+        assert len(out["range_starts"]) == len(sel)
+        assert out["action_label"].shape == (expected,)
+
+    def test_clip_filter_empty_raises(self, setup):
+        s = setup
+        with pytest.raises(ValueError):
+            rtf.database_window_features(
+                s["db"], clip_filter=lambda st, ac: False)
