@@ -50,9 +50,11 @@ def load_generator(args, cfg: GeneratorConfig):
                 args.gen_ckpt, use_ema=True,
                 encoder_depth=cfg.encoder_depth, decoder_depth=cfg.decoder_depth)
         else:
-            from ..train.checkpoint import load_checkpoint
+            from ..train.checkpoint import load_checkpoint, restore_like
 
-            params = load_checkpoint(args.gen_ckpt)["gen_ema"]
+            template = init_generator(jax.random.PRNGKey(0), cfg)
+            params = restore_like(
+                template, load_checkpoint(args.gen_ckpt)["gen_ema"])
         return jax.tree.map(jnp.asarray, params)
     if not args.random_init:
         raise SystemExit("provide --gen-ckpt or pass --random-init")
@@ -65,9 +67,11 @@ def load_cvae(args, cvae_cfg: CVAEConfig):
             sd = convert.load_torch_file(args.cvae_ckpt)
             params = convert.cvae_from_torch(sd, depth=cvae_cfg.depth)
         else:
-            from ..train.checkpoint import load_checkpoint
+            from ..train.checkpoint import load_checkpoint, restore_like
 
-            params = load_checkpoint(args.cvae_ckpt)["cvae"]
+            template = init_cvae(jax.random.PRNGKey(0), cvae_cfg)
+            params = restore_like(
+                template, load_checkpoint(args.cvae_ckpt)["cvae"])
         return jax.tree.map(jnp.asarray, params)
     if args.random_init:
         return init_cvae(jax.random.PRNGKey(7), cvae_cfg)
@@ -128,6 +132,9 @@ def main(argv=None):
     ap.add_argument("--viz", default=None, metavar="FILE.mp4",
                     help="render src/cm/trans/ik side by side to a video")
     args = ap.parse_args(argv)
+
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
 
     cfg_dict = get_config(args.config)
     cfg = GeneratorConfig.from_dict(cfg_dict["model"])

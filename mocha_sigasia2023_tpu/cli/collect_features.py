@@ -50,6 +50,9 @@ def main(argv=None):
     ap_ch.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     config = get_config(args.config)
     cfg = GeneratorConfig.from_dict(config["model"])
     params = load_generator(args, cfg)

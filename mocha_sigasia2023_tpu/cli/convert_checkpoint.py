@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--decoder-depth", type=int, default=2)
     args = ap.parse_args(argv)
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     obj = convert.load_torch_file(args.src)
     if args.kind == "gen":
         out = {

@@ -89,6 +89,9 @@ def main(argv=None):
     ap.add_argument("--name", default="database.bin")
     args = ap.parse_args(argv)
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     cfg = get_config(args.dataset_config)
     files = sorted(
         p for p in Path(args.bvh_dir).rglob("*.bvh") if p.name != "rest.bvh")

@@ -38,6 +38,9 @@ def main(argv=None):
     ap.add_argument("--resume", default=None, help="checkpoint to resume")
     args = ap.parse_args(argv)
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     config = get_config(args.config)
     if args.data_dir:
         config["data_dir"] = args.data_dir
@@ -63,7 +66,15 @@ def main(argv=None):
     steps_per_epoch = max(len(dataset) // batch_size, 1)
     print(f"{len(dataset)} windows, {steps_per_epoch} steps/epoch")
 
-    mesh = make_mesh(n_data=args.data_parallel)
+    # the data axis must divide the global batch: default to the largest
+    # divisor of batch_size that fits the device count
+    n_data = args.data_parallel
+    if n_data is None:
+        n_devices = len(jax.devices())
+        n_data = max(d for d in range(1, n_devices + 1)
+                     if batch_size % d == 0)
+    mesh = make_mesh(n_data=n_data)
+    print(f"mesh: data={mesh.shape['data']} model={mesh.shape['model']}")
     trainer = GeneratorTrainer(config, steps_per_epoch, mesh=mesh, seed=seed)
     start_epoch = 0
     if args.resume:

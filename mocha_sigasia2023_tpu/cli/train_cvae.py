@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1777)
     args = ap.parse_args(argv)
 
+    from ..utils import enable_compilation_cache
+    enable_compilation_cache()
+
     cfg = get_config(args.config).get("cvae", {})
     tc = CVAETrainerConfig(
         latent_dim=cfg.get("latent_dim", 256),

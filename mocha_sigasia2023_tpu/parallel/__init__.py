@@ -3,3 +3,4 @@
 from .mesh import (
     make_mesh, shard_batch, replicate, data_parallel_jit,
 )
+from .distributed import initialize_multihost, is_primary_host

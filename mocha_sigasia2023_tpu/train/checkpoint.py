@@ -57,3 +57,11 @@ def epoch_from_path(path: str) -> int:
     """Parse the epoch from a checkpoint filename (trainer.py:244)."""
     m = re.search(r"_(\d+)\.(?:msgpack|ckpt|pt)$", path)
     return int(m.group(1)) if m else 0
+
+
+def restore_like(template, state):
+    """Rebuild original container types (lists of layers, NamedTuples) from
+    a msgpack-restored state dict: flax's to_state_dict turns lists into
+    {'0': ...} dicts, so applying loaded params requires a structural
+    template (e.g. a freshly initialized model)."""
+    return serialization.from_state_dict(template, state)

@@ -206,15 +206,17 @@ class GeneratorTrainer:
     def load(self, path: str, resume: bool = False) -> int:
         state = jax.tree.map(np.asarray, self.state)
         saved = ckpt.load_checkpoint(path)
-        params = {"gen": saved["gen"], "prj": saved["prj"]}
+        # msgpack loses list structure; restore against the live templates
+        params = {
+            "gen": ckpt.restore_like(state.params["gen"], saved["gen"]),
+            "prj": ckpt.restore_like(state.params["prj"], saved["prj"]),
+        }
+        gen_ema = ckpt.restore_like(state.gen_ema, saved["gen_ema"])
         opt_state = state.opt_state
         if resume and "opt_state" in saved:
-            from flax import serialization
-
-            opt_state = serialization.from_state_dict(
-                state.opt_state, saved["opt_state"])
+            opt_state = ckpt.restore_like(state.opt_state, saved["opt_state"])
         new_state = TrainState(
-            params=params, gen_ema=saved["gen_ema"], opt_state=opt_state,
+            params=params, gen_ema=gen_ema, opt_state=opt_state,
             step=state.step)
         self.state = replicate(self.mesh, jax.tree.map(jnp.asarray, new_state))
         return ckpt.epoch_from_path(path)

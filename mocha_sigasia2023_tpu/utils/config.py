@@ -68,3 +68,18 @@ def print_composite(data, beg: str = "") -> None:
         print(f"{beg} array of size {tuple(data.shape)}")
     else:
         print(f"{beg} {data}")
+
+
+def enable_compilation_cache(path: str = None) -> None:
+    """Turn on JAX's persistent compilation cache (big win here: remote TPU
+    compiles are minutes; CLI invocations re-trace identical programs)."""
+    import jax
+
+    path = path or os.environ.get(
+        "MOCHA_COMPILATION_CACHE", os.path.expanduser("~/.cache/mocha_jax"))
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -161,6 +161,21 @@ class TestGeneratorTrainer:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert jckpt.latest_checkpoint(str(tmp_path)) == path
 
+        # loaded params must be APPLYABLE (msgpack turns layer lists into
+        # dicts; restore must rebuild the original structure)
+        import jax.numpy as jnp
+        from mocha_sigasia2023_tpu.models import generator as gen_mod
+        from mocha_sigasia2023_tpu.models.generator import GeneratorConfig
+
+        cfg = GeneratorConfig.from_dict(SMALL_CONFIG["model"])
+        x = jnp.zeros((1, 60, 24, 15))
+        out = gen_mod.forward(trainer2.state.params["gen"], cfg, x, x)
+        assert out.shape == (1, 60, 24, 15)
+        structs_equal = jax.tree.structure(
+            jax.tree.map(np.asarray, trainer.state.params)
+        ) == jax.tree.structure(jax.tree.map(np.asarray, trainer2.state.params))
+        assert structs_equal
+
 
 class TestCVAETrainer:
     def test_rollout_iterations(self):
