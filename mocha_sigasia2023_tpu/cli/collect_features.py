@@ -22,7 +22,6 @@ import os
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from ..io.database import load_database
 from ..models import GeneratorConfig

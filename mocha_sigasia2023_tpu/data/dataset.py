@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 import jax

@@ -22,7 +22,7 @@ everything composes into one jit per clip length.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 import jax

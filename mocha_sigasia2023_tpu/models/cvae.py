@@ -16,7 +16,7 @@ torch's MultiheadAttention.
 from __future__ import annotations
 
 import math
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import numpy as np
 import jax

@@ -21,7 +21,7 @@ separately because the streaming runtime drives them at different rates
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple
 
 import numpy as np
 import jax

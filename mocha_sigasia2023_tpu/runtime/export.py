@@ -7,7 +7,7 @@ zyx channel order.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp

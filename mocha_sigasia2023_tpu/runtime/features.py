@@ -14,7 +14,7 @@ gather and encoded in chunks of jit-compiled batches.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 import jax

@@ -9,8 +9,6 @@ MOCHA uses, and it keeps the whole streaming loop on-device.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import numpy as np
 import jax
 import jax.numpy as jnp

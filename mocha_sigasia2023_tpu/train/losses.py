@@ -16,8 +16,6 @@ runtime differentiates directly.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

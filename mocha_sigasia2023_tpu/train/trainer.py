@@ -15,8 +15,7 @@ over ICI (replacing nn.DataParallel).
 
 from __future__ import annotations
 
-import time
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple
 
 import numpy as np
 import jax
