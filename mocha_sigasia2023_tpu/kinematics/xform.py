@@ -12,20 +12,31 @@ import jax.numpy as jnp
 from .quat import topo_levels, _as_parents_key, _cross
 
 
+# NOTE: 3x3 products are spelled as broadcast-multiply + reduce, NOT
+# matmul/einsum.  The XLA:TPU algebraic simplifier crashes (RET_CHECK in
+# hlo_computation.cc:1773, observed on v5e) rewriting the transposed tiny
+# dot_generals these produce in the backward pass of the FK loss; pure
+# elementwise ops sidestep the pass and map to the VPU, which is the right
+# unit for 3x3 work anyway.
+
 def mul(x, y):
-    return jnp.matmul(x, y)
+    """x @ y for (..., 3, 3) stacks."""
+    return jnp.sum(x[..., :, :, None] * y[..., None, :, :], axis=-2)
 
 
 def mul_vec(x, v):
-    return jnp.matmul(x, v[..., None])[..., 0]
+    """x @ v for (..., 3, 3) x (..., 3)."""
+    return jnp.sum(x * v[..., None, :], axis=-1)
 
 
 def inv_mul(x, y):
-    return jnp.matmul(jnp.swapaxes(x, -1, -2), y)
+    """x^T @ y (rotation inverse = transpose)."""
+    return jnp.sum(x[..., :, :, None] * y[..., :, None, :], axis=-3)
 
 
 def inv_mul_vec(x, v):
-    return jnp.matmul(jnp.swapaxes(x, -1, -2), v[..., None])[..., 0]
+    """x^T @ v."""
+    return jnp.sum(x * v[..., :, None], axis=-2)
 
 
 def from_xy(xy):
