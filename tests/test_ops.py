@@ -64,3 +64,37 @@ class TestNativeCodec:
         s = native.format_frames(vals)
         back = native.parse_floats(s).reshape(200, 72)
         np.testing.assert_allclose(back, vals, atol=1e-6)
+
+
+class TestFusedDispatch:
+    def test_generator_forward_same_with_fused_attention(self):
+        """Flipping the fused-attention flag must not change generator
+        output (interpret-mode Pallas on CPU)."""
+        import torch
+        from conftest import add_reference_paths, reference_available
+        if not reference_available():
+            pytest.skip("reference unavailable")
+        add_reference_paths()
+        from test_models import MODEL_CFG
+        from mocha_sigasia2023_tpu.models import GeneratorConfig
+        from mocha_sigasia2023_tpu.models import generator as gen
+        from mocha_sigasia2023_tpu.models.generator import init_generator
+        from mocha_sigasia2023_tpu.ops import attention as ops_attn
+
+        cfg = GeneratorConfig.from_dict(MODEL_CFG)
+        params = init_generator(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 60, 24, 15))
+        y = jax.random.normal(jax.random.PRNGKey(2), (1, 60, 24, 15))
+        base = gen.forward(params, cfg, x, y)
+        # interpret-mode kernels on CPU
+        orig_call = ops_attn.fused_attention
+        try:
+            set_fused_attention(True)
+            ops_attn.fused_attention = lambda q, k, v, scale: orig_call(
+                q, k, v, scale=scale, interpret=True)
+            fused = gen.forward(params, cfg, x, y)
+        finally:
+            set_fused_attention(False)
+            ops_attn.fused_attention = orig_call
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                                   atol=2e-5, rtol=1e-4)

@@ -371,3 +371,25 @@ class TestStreamParity:
                                    atol=5e-3, rtol=1e-2)
         qd = np.abs(np.sum(ours["ik_rot"] * ref["ik_rot"], axis=-1))
         np.testing.assert_array_less(1.0 - 5e-3, qd)
+
+
+class TestDeterminism:
+    def test_same_key_same_output(self, setup):
+        s = setup
+        out1 = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"],
+            key=jax.random.PRNGKey(5))
+        out2 = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"],
+            key=jax.random.PRNGKey(5))
+        np.testing.assert_array_equal(out1["ik_pos"], out2["ik_pos"])
+        # a different key draws different CVAE noise -> bitwise different
+        # trans stream (the random-init prior variance is tiny, so the
+        # difference is small but must exist)
+        out3 = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"],
+            key=jax.random.PRNGKey(6))
+        assert not np.array_equal(out1["trans_pos"], out3["trans_pos"])
