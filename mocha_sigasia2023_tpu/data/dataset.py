@@ -109,16 +109,32 @@ def _window_features_jit(parents_key):
 
 
 def compute_window_features(Yrot, Ypos, Yvel, Yang, parents, batch=2048):
-    """Jit-cached, chunked wrapper (bounds device memory on large datasets)."""
+    """Jit-cached, chunked wrapper (bounds device memory on large datasets).
+
+    The tail chunk is padded up to the bucket size so every dataset size
+    compiles at most two shapes (full bucket + a sub-bucket when the whole
+    set is smaller) — remote TPU compiles are expensive.
+    """
     fn = _window_features_jit(tuple(int(p) for p in parents))
+    n = len(Yrot)
     outs = []
-    for i in range(0, len(Yrot), batch):
-        outs.append(fn(
-            jnp.asarray(Yrot[i:i + batch]), jnp.asarray(Ypos[i:i + batch]),
-            jnp.asarray(Yvel[i:i + batch]), jnp.asarray(Yang[i:i + batch])))
-    X = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
-    Y = np.concatenate([np.asarray(o[1]) for o in outs], axis=0)
-    root = np.concatenate([np.asarray(o[2]) for o in outs], axis=0)
+    for i in range(0, n, batch):
+        sl = slice(i, i + batch)
+        chunk = [Yrot[sl], Ypos[sl], Yvel[sl], Yang[sl]]
+        pad = 0
+        if n > batch and len(chunk[0]) < batch:
+            pad = batch - len(chunk[0])
+            chunk = [np.concatenate(
+                [c, np.repeat(np.asarray(c[-1:]), pad, axis=0)], axis=0)
+                for c in chunk]
+        out = fn(*(jnp.asarray(c) for c in chunk))
+        out = [np.asarray(o) for o in out]
+        if pad:
+            out = [o[:-pad] for o in out]
+        outs.append(out)
+    X = np.concatenate([o[0] for o in outs], axis=0)
+    Y = np.concatenate([o[1] for o in outs], axis=0)
+    root = np.concatenate([o[2] for o in outs], axis=0)
     return X, Y, root
 
 

@@ -234,3 +234,22 @@ class TestMirrorAndFeaturize:
         idx = win.full_window_indices(100, 60, 20)
         assert idx.shape == (3, 60)  # starts 0,20,40; 60/80 dropped
         assert idx[-1, 0] == 40
+
+
+class TestGoldenStability:
+    def test_database_build_is_byte_stable(self, tmp_path):
+        """Same BVH in -> bit-identical database.bin out (SURVEY.md §7
+        golden-file requirement)."""
+        from test_dataset import build_synthetic_database
+
+        p1, p2 = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+        build_synthetic_database(p1, n_clips=1, T=100)
+        build_synthetic_database(p2, n_clips=1, T=100)
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+
+    def test_bvh_save_is_byte_stable(self, tmp_path):
+        data = make_mocha_bvh_data(T=12, seed=5)
+        a, b = str(tmp_path / "a.bvh"), str(tmp_path / "b.bvh")
+        jbvh.save(a, data)
+        jbvh.save(b, data)
+        assert open(a).read() == open(b).read()
