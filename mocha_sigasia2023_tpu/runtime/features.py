@@ -158,18 +158,18 @@ def encode_database(db: Dict, params, cfg: gen.GeneratorConfig,
     step=1 and a clip_filter it reproduces collect_CVAE_feature_action.py's
     per-character sliding features.
     """
+    from ..data.dataset import compute_window_features
+
     idx, styles, actions = database_window_features(
         db, window=window, step=step, clip_filter=clip_filter)
     parents = db["bone_parents"]
-    Ypos = db["bone_positions"].astype(np.float32)[idx]
-    Yvel = db["bone_velocities"].astype(np.float32)[idx]
-    Yrot = db["bone_rotations"].astype(np.float32)[idx]
-    Yang = db["bone_angular_velocities"].astype(np.float32)[idx]
-
-    X, _, _ = window_xy_features(
-        jnp.asarray(Yrot), jnp.asarray(Ypos), jnp.asarray(Yvel),
-        jnp.asarray(Yang), parents)
-    encoded, cnt = encode_windows(params, cfg, np.asarray(X), norm, batch=batch)
+    X, _, _ = compute_window_features(
+        db["bone_rotations"].astype(np.float32)[idx],
+        db["bone_positions"].astype(np.float32)[idx],
+        db["bone_velocities"].astype(np.float32)[idx],
+        db["bone_angular_velocities"].astype(np.float32)[idx],
+        parents)
+    encoded, cnt = encode_windows(params, cfg, X, norm, batch=batch)
     return encoded, cnt, styles, actions
 
 
@@ -216,15 +216,17 @@ def collect_character_features(db: Dict, params, cfg, norm, *,
         off = 0 if not out_stops else out_stops[-1]
         out_starts.append(off)
         out_stops.append(off + (T - window))
+    from ..data.dataset import compute_window_features
+
     idx = np.concatenate(sel_idx)
     parents = db["bone_parents"]
-    X, _, _ = window_xy_features(
-        jnp.asarray(db["bone_rotations"].astype(np.float32)[idx]),
-        jnp.asarray(db["bone_positions"].astype(np.float32)[idx]),
-        jnp.asarray(db["bone_velocities"].astype(np.float32)[idx]),
-        jnp.asarray(db["bone_angular_velocities"].astype(np.float32)[idx]),
+    X, _, _ = compute_window_features(
+        db["bone_rotations"].astype(np.float32)[idx],
+        db["bone_positions"].astype(np.float32)[idx],
+        db["bone_velocities"].astype(np.float32)[idx],
+        db["bone_angular_velocities"].astype(np.float32)[idx],
         parents)
-    encoded, cnt = encode_windows(params, cfg, np.asarray(X), norm)
+    encoded, cnt = encode_windows(params, cfg, X, norm)
     return {
         "encoded": encoded,
         "cnt": cnt,
