@@ -281,21 +281,63 @@ def _as_parents_key(parents):
     return tuple(int(p) for p in np.asarray(parents).tolist())
 
 
-def fk(lrot, lpos, parents):
-    """Local -> global rotations/positions (quat.py:166-173), level-scheduled.
+@functools.lru_cache(maxsize=None)
+def ancestor_chains(parents: tuple):
+    """Static (J, D) ancestor index table, front-padded with the sentinel
+    index J (an appended identity bone).  Row j lists root..j."""
+    parents = tuple(int(p) for p in parents)
+    J = len(parents)
+    chains = []
+    for j in range(J):
+        c = []
+        b = j
+        while b != -1:
+            c.append(b)
+            b = parents[b]
+        chains.append(list(reversed(c)))
+    D = max(len(c) for c in chains)
+    anc = np.full((J, D), J, dtype=np.int32)
+    for j, c in enumerate(chains):
+        anc[j, D - len(c):] = c
+    return anc
 
-    lrot: (..., J, 4), lpos: (..., J, 3).  Joints must be topologically
-    ordered only in the sense that parents[i] is a valid index; any order
-    works because levels are derived from the parents array.
+
+def _with_identity(lrot, lpos, lvel=None, lang=None):
+    """Append an identity bone at index J (used as chain padding)."""
+    ident_q = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0, 0.0], lrot.dtype),
+        lrot.shape[:-2] + (1, 4))
+    zero3 = jnp.zeros(lpos.shape[:-2] + (1, 3), lpos.dtype)
+    out = [jnp.concatenate([lrot, ident_q], axis=-2),
+           jnp.concatenate([lpos, zero3], axis=-2)]
+    if lvel is not None:
+        out.append(jnp.concatenate([lvel, zero3], axis=-2))
+    if lang is not None:
+        out.append(jnp.concatenate([lang, zero3], axis=-2))
+    return out
+
+
+def fk(lrot, lpos, parents):
+    """Local -> global rotations/positions (quat.py:166-173).
+
+    TPU-native formulation: every joint accumulates the product along its
+    static root->joint ancestor chain in parallel — D (= tree depth)
+    batched steps with only static gathers, no scatter updates.  (Scatter
+    based level updates miscompile in large fused backward programs on the
+    v5e terminal compiler — see xform.py NOTE.)
+
+    lrot: (..., J, 4), lpos: (..., J, 3).
     """
-    levels, lparents = topo_levels(_as_parents_key(parents))
-    grot, gpos = lrot, lpos
-    for lvl, par in zip(levels[1:], lparents[1:]):
-        pr = grot[..., par, :]
-        pp = gpos[..., par, :]
-        grot = grot.at[..., lvl, :].set(mul(pr, lrot[..., lvl, :]))
-        gpos = gpos.at[..., lvl, :].set(mul_vec(pr, lpos[..., lvl, :]) + pp)
-    return grot, gpos
+    anc = ancestor_chains(_as_parents_key(parents))
+    lrotp, lposp = _with_identity(lrot, lpos)
+    gr = lrotp[..., anc[:, 0], :]
+    gp = lposp[..., anc[:, 0], :]
+    for d in range(1, anc.shape[1]):
+        l_r = lrotp[..., anc[:, d], :]
+        l_p = lposp[..., anc[:, d], :]
+        gp = gp + mul_vec(gr, l_p)
+        gr = mul(gr, l_r)
+    return gr, gp
 
 
 def ik(grot, gpos, parents):
@@ -321,22 +363,25 @@ def ik(grot, gpos, parents):
 
 
 def fk_vel(lrot, lpos, lvel, lang, parents):
-    """FK propagating linear/angular velocities (quat.py:189-204)."""
-    levels, lparents = topo_levels(_as_parents_key(parents))
-    grot, gpos, gvel, gang = lrot, lpos, lvel, lang
-    for lvl, par in zip(levels[1:], lparents[1:]):
-        pr = grot[..., par, :]
-        pp = gpos[..., par, :]
-        pv = gvel[..., par, :]
-        pa = gang[..., par, :]
-        rp = mul_vec(pr, lpos[..., lvl, :])
-        grot = grot.at[..., lvl, :].set(mul(pr, lrot[..., lvl, :]))
-        gpos = gpos.at[..., lvl, :].set(rp + pp)
-        gvel = gvel.at[..., lvl, :].set(
-            mul_vec(pr, lvel[..., lvl, :]) + _cross(pa, rp) + pv
-        )
-        gang = gang.at[..., lvl, :].set(mul_vec(pr, lang[..., lvl, :]) + pa)
-    return grot, gpos, gvel, gang
+    """FK propagating linear/angular velocities (quat.py:189-204), via
+    parallel ancestor-chain accumulation (see :func:`fk`)."""
+    anc = ancestor_chains(_as_parents_key(parents))
+    lrotp, lposp, lvelp, langp = _with_identity(lrot, lpos, lvel, lang)
+    gr = lrotp[..., anc[:, 0], :]
+    gp = lposp[..., anc[:, 0], :]
+    gv = lvelp[..., anc[:, 0], :]
+    ga = langp[..., anc[:, 0], :]
+    for d in range(1, anc.shape[1]):
+        l_r = lrotp[..., anc[:, d], :]
+        l_p = lposp[..., anc[:, d], :]
+        l_v = lvelp[..., anc[:, d], :]
+        l_a = langp[..., anc[:, d], :]
+        rp = mul_vec(gr, l_p)
+        gv = gv + mul_vec(gr, l_v) + _cross(ga, rp)
+        ga = ga + mul_vec(gr, l_a)
+        gp = gp + rp
+        gr = mul(gr, l_r)
+    return gr, gp, gv, ga
 
 
 @functools.lru_cache(maxsize=None)

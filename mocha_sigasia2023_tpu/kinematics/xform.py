@@ -52,23 +52,37 @@ def from_xy(xy):
 
 
 def fk_vel(lrot, lpos, lvel, lang, parents):
-    """Matrix-form FK with velocity propagation (xform.py:34-49),
-    level-scheduled like the quaternion version.
+    """Matrix-form FK with velocity propagation (xform.py:34-49), via
+    parallel ancestor-chain accumulation (see quat.fk: no scatter updates,
+    only static gathers — the scatter form miscompiles in large fused
+    backward programs on the v5e terminal compiler).
 
     lrot: (..., J, 3, 3); lpos/lvel/lang: (..., J, 3).
     """
-    levels, lparents = topo_levels(_as_parents_key(parents))
-    grot, gpos, gvel, gang = lrot, lpos, lvel, lang
-    for lvl, par in zip(levels[1:], lparents[1:]):
-        pr = grot[..., par, :, :]
-        pp = gpos[..., par, :]
-        pv = gvel[..., par, :]
-        pa = gang[..., par, :]
-        rp = mul_vec(pr, lpos[..., lvl, :])
-        grot = grot.at[..., lvl, :, :].set(mul(pr, lrot[..., lvl, :, :]))
-        gpos = gpos.at[..., lvl, :].set(rp + pp)
-        gvel = gvel.at[..., lvl, :].set(
-            mul_vec(pr, lvel[..., lvl, :]) + jnp.cross(pa, rp) + pv
-        )
-        gang = gang.at[..., lvl, :].set(mul_vec(pr, lang[..., lvl, :]) + pa)
-    return grot, gpos, gvel, gang
+    from .quat import ancestor_chains
+
+    anc = ancestor_chains(_as_parents_key(parents))
+    J = lpos.shape[-2]
+    ident = jnp.broadcast_to(jnp.eye(3, dtype=lrot.dtype),
+                             lrot.shape[:-3] + (1, 3, 3))
+    zero3 = jnp.zeros(lpos.shape[:-2] + (1, 3), lpos.dtype)
+    lrotp = jnp.concatenate([lrot, ident], axis=-3)
+    lposp = jnp.concatenate([lpos, zero3], axis=-2)
+    lvelp = jnp.concatenate([lvel, zero3], axis=-2)
+    langp = jnp.concatenate([lang, zero3], axis=-2)
+
+    gr = lrotp[..., anc[:, 0], :, :]
+    gp = lposp[..., anc[:, 0], :]
+    gv = lvelp[..., anc[:, 0], :]
+    ga = langp[..., anc[:, 0], :]
+    for d in range(1, anc.shape[1]):
+        l_r = lrotp[..., anc[:, d], :, :]
+        l_p = lposp[..., anc[:, d], :]
+        l_v = lvelp[..., anc[:, d], :]
+        l_a = langp[..., anc[:, d], :]
+        rp = mul_vec(gr, l_p)
+        gv = gv + mul_vec(gr, l_v) + jnp.cross(ga, rp)
+        ga = ga + mul_vec(gr, l_a)
+        gp = gp + rp
+        gr = mul(gr, l_r)
+    return gr, gp, gv, ga

@@ -77,8 +77,11 @@ def dropout(x, rate, key: Optional[jax.Array], train: bool):
     if not train or rate == 0.0 or key is None:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
+    # multiply-by-mask instead of select(where): the where/bernoulli form
+    # participates in an XLA:TPU simplifier miscompile inside the large
+    # fused training program on the v5e terminal's (older) compiler
+    mask = (jax.random.uniform(key, x.shape) < keep).astype(x.dtype)
+    return x * mask * (1.0 / keep)
 
 
 def leaky_relu(x, slope=0.2):

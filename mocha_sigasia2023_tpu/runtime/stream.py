@@ -205,8 +205,14 @@ def make_stream_step(cfg: gen.GeneratorConfig,
         key = carry.key
         # --- context matching -------------------------------------------
         src_cnt_nm = (x["cnt"] - consts.cnt_mean) / consts.cnt_std
-        idx = nn_index(src_cnt_nm.reshape(-1), consts.cha_cnt_flat,
-                       consts.cha_cnt_sq)
+        q_flat = src_cnt_nm.reshape(-1)
+        db_flat = consts.cha_cnt_flat
+        if compute_dtype is not None:
+            # the 23k-dim score matmul dominates NN cost; bf16 with the
+            # precomputed f32 |x|^2 keeps the argmin stable in practice
+            q_flat = q_flat.astype(compute_dtype)
+            db_flat = db_flat.astype(compute_dtype)
+        idx = nn_index(q_flat, db_flat, consts.cha_cnt_sq)
         nn_cha_encoded = consts.cha_encoded[idx]
 
         if use_cvae:

@@ -32,14 +32,25 @@ def _split_channels(Y):
     return pos, txy, vel, ang
 
 
-def recon_criterion(Ytil, Ygt, parents, dt: float = 1.0 / 60.0):
+def recon_criterion(Ytil, Ygt, parents, dt: float = 1.0 / 60.0,
+                    compute_dtype=None):
     """Weighted L1 over local pose, FK'd character-space pose, and their
     finite differences (trainer.py:249-337).
 
     Ytil: (B, T, J-1, 15) prediction WITHOUT the root bone;
     Ygt:  (B, T, J, 15) ground truth including the root row (re-attached to
     the prediction before FK, trainer.py:269-273).
+
+    ``compute_dtype=float64`` runs the whole loss tail in f64 (requires
+    jax_enable_x64).  On the current v5e terminal compiler this is the
+    reliable workaround for a fusion-dependent f32 miscompile that turns
+    large loss+FK backward programs into NaNs (see kinematics/xform.py
+    NOTE); the tail is a tiny fraction of step compute.
     """
+    out_dtype = Ytil.dtype
+    if compute_dtype is not None:
+        Ytil = Ytil.astype(compute_dtype)
+        Ygt = Ygt.astype(compute_dtype)
     gt_pos, gt_txy, gt_vel, gt_ang = _split_channels(Ygt)
     gt_xfm = xform.from_xy(gt_txy)
 
@@ -72,6 +83,14 @@ def recon_criterion(Ytil, Ygt, parents, dt: float = 1.0 / 60.0):
     def l1(w, a, b):
         return jnp.mean(w * jnp.abs(a - b))
 
+    # The local-rotation delta term is computed on the flat 6-channel txy
+    # view (identical elements, identical mean): the time-shifted
+    # difference of the 5D (B,T,J,3,2) reshape is miscompiled by the
+    # XLA:TPU optimizer into NaNs (verified op-by-op finite vs jit NaN on
+    # v5e; same pass family as the kinematics/xform.py crash note).
+    gt_txy6 = Ygt[..., 3:9]
+    p_txy6 = jnp.concatenate([Ygt[:, :, 0:1, 3:9], Ytil[..., 3:9]], axis=2)
+
     return (
         l1(75.0, gt_pos, p_pos)
         + l1(10.0, gt_txy, p_txy)
@@ -82,16 +101,20 @@ def recon_criterion(Ytil, Ygt, parents, dt: float = 1.0 / 60.0):
         + l1(2.0, Qgt_vel, Qp_vel)
         + l1(0.75, Qgt_ang, Qp_ang)
         + l1(10.0, d(gt_pos), d(p_pos))
-        + l1(1.75, d(gt_txy), d(p_txy))
+        + l1(1.75, d(gt_txy6), d(p_txy6))
         + l1(2.0, d(Qgt_pos), d(Qp_pos))
         + l1(0.75, d(Qgt_xfm), d(Qp_xfm))
-    )
+    ).astype(out_dtype)
 
 
-def convert_YtilToX(Ytil, Ygnd_root, parents):
+def convert_YtilToX(Ytil, Ygnd_root, parents, compute_dtype=None):
     """Predicted parent-local Y (no root) + ground-truth root row ->
     character-space X features via differentiable quaternion FK
-    (trainer.py:339-374)."""
+    (trainer.py:339-374).  ``compute_dtype``: see recon_criterion."""
+    out_dtype = Ytil.dtype
+    if compute_dtype is not None:
+        Ytil = Ytil.astype(compute_dtype)
+        Ygnd_root = Ygnd_root.astype(compute_dtype)
     b, t = Ytil.shape[:2]
     r_pos, r_txy, r_vel, r_ang = _split_channels(Ygnd_root)
     p_pos, p_txy, p_vel, p_ang = _split_channels(Ytil)
@@ -113,16 +136,21 @@ def convert_YtilToX(Ytil, Ygnd_root, parents):
 
     j = Xpos.shape[2]
     return jnp.concatenate(
-        [Xpos, Xtxy.reshape(b, t, j, 6), Xvel, Xang], axis=-1)
+        [Xpos, Xtxy.reshape(b, t, j, 6), Xvel, Xang], axis=-1
+    ).astype(out_dtype)
 
 
 def patch_nce_loss(feat_q, feat_k, temp: float = 0.07,
                    all_negatives_from_minibatch: bool = True,
-                   batch_size: int = 1):
+                   batch_size: int = 1, compute_dtype=None):
     """PatchNCE InfoNCE (trainer.py:169-208): positives are matching
     patches, negatives every other patch in the (mini)batch, diagonal
     filled with -10; keys are stopped gradients."""
     n, dim = feat_q.shape
+    out_dtype = feat_q.dtype
+    if compute_dtype is not None:
+        feat_q = feat_q.astype(compute_dtype)
+        feat_k = feat_k.astype(compute_dtype)
     feat_q = feat_q / jnp.linalg.norm(feat_q, axis=1, keepdims=True)
     feat_k = feat_k / jnp.linalg.norm(feat_k, axis=1, keepdims=True)
     feat_k = jax.lax.stop_gradient(feat_k)
@@ -141,7 +169,7 @@ def patch_nce_loss(feat_q, feat_k, temp: float = 0.07,
     # labels are all zero: the positive is column 0
     logp = jax.nn.log_softmax(logits, axis=1)
     loss = -logp[:, 0]
-    return loss.mean(), logits
+    return loss.mean().astype(out_dtype), logits.astype(out_dtype)
 
 
 def contrastive_acc(logits, topk=(1, 5)):

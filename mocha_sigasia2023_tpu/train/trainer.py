@@ -28,7 +28,8 @@ from ..models.generator import GeneratorConfig
 from ..models.projector import ProjectorConfig
 from ..parallel import make_mesh, replicate, shard_batch
 from . import checkpoint as ckpt
-from .losses import contrastive_acc, convert_YtilToX, patch_nce_loss, recon_criterion
+from .losses import (contrastive_acc, convert_YtilToX, patch_nce_loss,
+                     recon_criterion)
 
 
 class TrainState(NamedTuple):
@@ -57,9 +58,11 @@ def make_optimizer(lr: float, weight_decay: float, lr_drop_epochs: int,
 
 def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
                      batch_src, batch_cha, norm, parents, weights,
-                     rng, train: bool = True):
+                     rng, train: bool = True, loss_dtype=None):
     """The full generator objective (trainer.py:103-167).  Returns
-    (total, metrics dict)."""
+    (total, metrics dict).  ``loss_dtype=float64`` computes the loss tails
+    (FK reconstruction, Y->X conversion, NCE) in f64 — the workaround for
+    the v5e terminal compiler's f32 fusion miscompile (losses.py NOTE)."""
     X_mean = norm["X_mean"][None, None]
     X_std = norm["X_std"][None, None]
     Y_mean = norm["Y_mean"][None, None]
@@ -82,13 +85,16 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
                             key=ks[2], train=train)
 
     trans_dn = trans_Ytil * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
-    trans_X = convert_YtilToX(trans_dn, src_Y[:, :, 0:1], parents)
+    trans_X = convert_YtilToX(trans_dn, src_Y[:, :, 0:1], parents,
+                              compute_dtype=loss_dtype)
     trans_in = (trans_X[:, :, 1:] - X_mean[:, :, 1:]) / X_std[:, :, 1:]
 
     recon_src_dn = recon_src * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
     recon_cha_dn = recon_cha * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
-    loss_recon = 0.5 * (recon_criterion(recon_src_dn, src_Y, parents)
-                        + recon_criterion(recon_cha_dn, cha_Y, parents))
+    loss_recon = 0.5 * (
+        recon_criterion(recon_src_dn, src_Y, parents, compute_dtype=loss_dtype)
+        + recon_criterion(recon_cha_dn, cha_Y, parents,
+                          compute_dtype=loss_dtype))
 
     # PatchNCE context preservation (trainer.py:138-142).  With
     # num_patches=-1 ('all' mode) every token is a patch and the loss is
@@ -98,7 +104,8 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
         key=ks[3], train=train)
     feat_k, patch_id = prj.apply_projector(params["prj"], prj_cfg, trans_cnt)
     feat_q, _ = prj.apply_projector(params["prj"], prj_cfg, src_cnt, patch_id)
-    loss_nce, logits = patch_nce_loss(feat_q, feat_k)
+    loss_nce, logits = patch_nce_loss(feat_q, feat_k,
+                                      compute_dtype=loss_dtype)
     top1, top5 = contrastive_acc(logits)
 
     cyc_src = gen.forward(gp, gen_cfg, trans_in, src_in,
@@ -107,8 +114,10 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
                           key=ks[5], train=train)
     cyc_src_dn = cyc_src * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
     cyc_cha_dn = cyc_cha * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
-    loss_cyc = 0.5 * (recon_criterion(cyc_src_dn, src_Y, parents)
-                      + recon_criterion(cyc_cha_dn, cha_Y, parents))
+    loss_cyc = 0.5 * (
+        recon_criterion(cyc_src_dn, src_Y, parents, compute_dtype=loss_dtype)
+        + recon_criterion(cyc_cha_dn, cha_Y, parents,
+                          compute_dtype=loss_dtype))
 
     total = (weights["rec_w"] * loss_recon
              + weights["nce_w"] * loss_nce
@@ -124,6 +133,143 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
     return total, metrics
 
 
+def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
+                        ema_beta):
+    """The training objective as SEPARATELY-JITTED small programs with
+    explicit cotangent passing (mathematically identical gradients to the
+    monolithic step).
+
+    Why: the v5e terminal's XLA silently miscompiles (NaNs) once one
+    compiled program fuses >= 2 generator forwards with the FK
+    reconstruction backward — every component below was verified finite on
+    the chip in isolation, the monolith not (see losses.py NOTE).  Each
+    entry here is its own jit, so each compiles within the empirically-safe
+    size class:
+
+      recon_one   one self-reconstruction forward + FK loss grad
+      trans_fwd   forward-only translate pass -> trans_in
+      nce_grad    NCE value/grad wrt (params, trans_in)
+      cyc_grad    one cycle forward + FK loss, grad wrt (params, inputs)
+      trans_vjp   pull the summed trans_in cotangent back to params
+      apply       combine grads + optimizer + EMA (donated state)
+
+    Per step: 7 device programs chained on the host; arrays never leave the
+    device.
+    """
+    import mocha_sigasia2023_tpu.models.projector as prj_mod
+
+    def norm_x(X, norm):
+        return (X[:, :, 1:] - norm["X_mean"][None, None, 1:]) \
+            / norm["X_std"][None, None, 1:]
+
+    def denorm_y(o, norm):
+        return o * norm["Y_std"][None, None, 1:] + norm["Y_mean"][None, None, 1:]
+
+    def trans_path(params, src_in, cha_in, src_root, norm, k):
+        o = gen.forward(params["gen"], gen_cfg, src_in, cha_in,
+                        key=k, train=True)
+        tx_ = convert_YtilToX(denorm_y(o, norm), src_root, parents,
+                              compute_dtype=loss_dtype)
+        return norm_x(tx_, norm)
+
+    @jax.jit
+    def trans_fwd(params, src_in, cha_in, src_root, norm, k):
+        return trans_path(params, src_in, cha_in, src_root, norm, k)
+
+    def _recon_one(params, a_in, gt_Y, norm, k):
+        o = gen.forward(params["gen"], gen_cfg, a_in, a_in, key=k, train=True)
+        return recon_criterion(denorm_y(o, norm), gt_Y, parents,
+                               compute_dtype=loss_dtype)
+
+    recon_one = jax.jit(jax.value_and_grad(_recon_one))
+
+    def _nce(params, trans_in, src_in, norm, k):
+        _, _, src_cnt, trans_cnt = gen.forward(
+            params["gen"], gen_cfg, src_in, trans_in, extract_feature=True,
+            key=k, train=True)
+        feat_k, pid = prj_mod.apply_projector(params["prj"], prj_cfg, trans_cnt)
+        feat_q, _ = prj_mod.apply_projector(params["prj"], prj_cfg, src_cnt, pid)
+        loss, logits = patch_nce_loss(feat_q, feat_k, compute_dtype=loss_dtype)
+        return loss, logits
+
+    nce_grad = jax.jit(
+        jax.value_and_grad(_nce, argnums=(0, 1), has_aux=True))
+
+    def _cyc(params, a_in, b_in, gt_Y, norm, k):
+        o = gen.forward(params["gen"], gen_cfg, a_in, b_in, key=k, train=True)
+        return recon_criterion(denorm_y(o, norm), gt_Y, parents,
+                               compute_dtype=loss_dtype)
+
+    cyc_grad_a = jax.jit(jax.value_and_grad(_cyc, argnums=(0, 1)))
+    cyc_grad_b = jax.jit(jax.value_and_grad(_cyc, argnums=(0, 2)))
+
+    @jax.jit
+    def trans_vjp(params, src_in, cha_in, src_root, norm, k, cotangent):
+        _, pull = jax.vjp(
+            lambda p: trans_path(p, src_in, cha_in, src_root, norm, k),
+            params)
+        (g,) = pull(cotangent)
+        return g
+
+    @jax.jit
+    def apply_update(state, g_rs, g_rc, g_nce_p, g_cs_p, g_cc_p, g_trans,
+                     losses, logits):
+        l_rs, l_rc, l_nce, l_cs, l_cc = losses
+        grads = jax.tree.map(
+            lambda a, b, c, d, e, f: (
+                weights["rec_w"] * 0.5 * (a + b)
+                + weights["nce_w"] * c
+                + weights["cyc_w"] * 0.5 * (d + e) + f),
+            g_rs, g_rc, g_nce_p, g_cs_p, g_cc_p, g_trans)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gen_ema = optax.incremental_update(
+            params["gen"], state.gen_ema, 1.0 - ema_beta)
+        l_recon = 0.5 * (l_rs + l_rc)
+        l_cyc = 0.5 * (l_cs + l_cc)
+        total = (weights["rec_w"] * l_recon + weights["nce_w"] * l_nce
+                 + weights["cyc_w"] * l_cyc)
+        top1, top5 = contrastive_acc(logits)
+        metrics = {
+            "gen/loss_total": total,
+            "gen/loss_recon": l_recon,
+            "gen/loss_nce_cnt": l_nce,
+            "gen/cnt_acc_top1": top1,
+            "gen/cnt_acc_top5": top5,
+            "gen/loss_cyc": l_cyc,
+        }
+        new_state = TrainState(params, gen_ema, opt_state, state.step + 1)
+        return new_state, metrics
+
+    def step(state, batch_src, batch_cha, norm, rng):
+        params = state.params
+        ks = jax.random.split(rng, 6)
+        src_in = (batch_src["X"][:, :, 1:] - norm["X_mean"][None, None, 1:]) \
+            / norm["X_std"][None, None, 1:]
+        cha_in = (batch_cha["X"][:, :, 1:] - norm["X_mean"][None, None, 1:]) \
+            / norm["X_std"][None, None, 1:]
+        src_Y, cha_Y = batch_src["Y"], batch_cha["Y"]
+        src_root = src_Y[:, :, 0:1]
+
+        l_rs, g_rs = recon_one(params, src_in, src_Y, norm, ks[0])
+        l_rc, g_rc = recon_one(params, cha_in, cha_Y, norm, ks[1])
+        trans_in = trans_fwd(params, src_in, cha_in, src_root, norm, ks[2])
+        (l_nce, logits), (g_nce_p, g_nce_t) = nce_grad(
+            params, trans_in, src_in, norm, ks[3])
+        l_cs, (g_cs_p, g_cs_t) = cyc_grad_a(
+            params, trans_in, src_in, src_Y, norm, ks[4])
+        l_cc, (g_cc_p, g_cc_t) = cyc_grad_b(
+            params, cha_in, trans_in, cha_Y, norm, ks[5])
+        cotangent = (weights["nce_w"] * g_nce_t
+                     + weights["cyc_w"] * 0.5 * (g_cs_t + g_cc_t))
+        g_trans = trans_vjp(params, src_in, cha_in, src_root, norm, ks[2],
+                            cotangent)
+        return apply_update(state, g_rs, g_rc, g_nce_p, g_cs_p, g_cc_p,
+                            g_trans, (l_rs, l_rc, l_nce, l_cs, l_cc), logits)
+
+    return step
+
+
 class GeneratorTrainer:
     """Owns params/EMA/optimizer and the jitted SPMD train step
     (role of trainer.Trainer, trainer.py:19-101)."""
@@ -131,6 +277,15 @@ class GeneratorTrainer:
     def __init__(self, config: Dict, steps_per_epoch: int,
                  mesh=None, seed: int = 1777):
         self.config = config
+        # loss-tail compute dtype; 'float64' is the TPU-terminal workaround
+        ld = config.get("loss_dtype")
+        self.loss_dtype = jnp.dtype(ld) if ld else None
+        if self.loss_dtype == jnp.float64:
+            jax.config.update("jax_enable_x64", True)
+        # split-step mode: per-component grad programs with explicit
+        # cotangent routing (see make_split_step_fns) — default ON, the
+        # monolithic step miscompiles on the current TPU terminal
+        self.split_step = bool(config.get("split_step", True))
         self.gen_cfg = GeneratorConfig.from_dict(config["model"])
         self.prj_cfg = ProjectorConfig(
             mode="all",
@@ -164,13 +319,19 @@ class GeneratorTrainer:
             opt_state=self.tx.init(params),
             step=jnp.zeros((), jnp.int32))
         self.state = replicate(self.mesh, state)
-        self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
+        if self.split_step:
+            self._train_step = make_split_step_fns(
+                self.gen_cfg, self.prj_cfg, self.parents, self.weights,
+                self.loss_dtype, self.tx, self.ema_beta)
+        else:
+            self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
 
     def _step_impl(self, state: TrainState, batch_src, batch_cha, norm, rng):
         def loss_fn(params):
             return compute_gen_loss(
                 params, self.gen_cfg, self.prj_cfg, batch_src, batch_cha,
-                norm, self.parents, self.weights, rng, train=True)
+                norm, self.parents, self.weights, rng, train=True,
+                loss_dtype=self.loss_dtype)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
