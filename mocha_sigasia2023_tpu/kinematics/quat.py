@@ -3,10 +3,12 @@
 Functional parity targets (formulas, not code): /root/reference/motion/quat.py
 and motion/tquat.py.  Everything here is pure jnp: differentiable, vmappable,
 and shaped so XLA can fuse the whole pipeline.  The reference's per-joint
-Python FK loop (quat.py:166-204) is replaced by a *level-scheduled* FK: joints
-are grouped by tree depth and each level is computed as one batched op, so the
-sequential chain length equals the skeleton depth (~7 for the 25-bone mocha
-rig) instead of the joint count.
+Python FK loop (quat.py:166-204) is replaced by *ancestor-chain* FK: every
+joint accumulates the transform product along its static root->joint chain
+in parallel, so the sequential length equals the skeleton depth (~9 for the
+25-bone mocha rig), all steps are batched over joints, and the program
+contains only static gathers (no scatter updates — important for the TPU
+compiler, see xform.py NOTE).
 """
 
 from __future__ import annotations
