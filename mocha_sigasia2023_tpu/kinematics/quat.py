@@ -320,16 +320,30 @@ def _with_identity(lrot, lpos, lvel=None, lang=None):
 
 
 def fk(lrot, lpos, parents):
-    """Local -> global rotations/positions (quat.py:166-173).
-
-    TPU-native formulation: every joint accumulates the product along its
-    static root->joint ancestor chain in parallel — D (= tree depth)
-    batched steps with only static gathers, no scatter updates.  (Scatter
-    based level updates miscompile in large fused backward programs on the
-    v5e terminal compiler — see xform.py NOTE.)
+    """Local -> global rotations/positions (quat.py:166-173),
+    level-scheduled: joints grouped by tree depth, one batched update per
+    level (sequential length = skeleton depth).
 
     lrot: (..., J, 4), lpos: (..., J, 3).
+
+    An ancestor-chain variant (:func:`fk_chain_all`) exists for contexts
+    where the scatter updates here miscompile (see xform.py NOTE) — the
+    level form is the fast default for forward paths.
     """
+    levels, lparents = topo_levels(_as_parents_key(parents))
+    grot, gpos = lrot, lpos
+    for lvl, par in zip(levels[1:], lparents[1:]):
+        pr = grot[..., par, :]
+        pp = gpos[..., par, :]
+        grot = grot.at[..., lvl, :].set(mul(pr, lrot[..., lvl, :]))
+        gpos = gpos.at[..., lvl, :].set(mul_vec(pr, lpos[..., lvl, :]) + pp)
+    return grot, gpos
+
+
+def fk_chain_all(lrot, lpos, parents):
+    """Ancestor-chain FK: every joint accumulates the product along its
+    static root->joint chain — only static gathers, no scatter updates
+    (the training-loss-safe form; see xform.py NOTE)."""
     anc = ancestor_chains(_as_parents_key(parents))
     lrotp, lposp = _with_identity(lrot, lpos)
     gr = lrotp[..., anc[:, 0], :]
@@ -365,8 +379,28 @@ def ik(grot, gpos, parents):
 
 
 def fk_vel(lrot, lpos, lvel, lang, parents):
-    """FK propagating linear/angular velocities (quat.py:189-204), via
-    parallel ancestor-chain accumulation (see :func:`fk`)."""
+    """FK propagating linear/angular velocities (quat.py:189-204),
+    level-scheduled (see :func:`fk`; chain variant: fk_vel_chain_all)."""
+    levels, lparents = topo_levels(_as_parents_key(parents))
+    grot, gpos, gvel, gang = lrot, lpos, lvel, lang
+    for lvl, par in zip(levels[1:], lparents[1:]):
+        pr = grot[..., par, :]
+        pp = gpos[..., par, :]
+        pv = gvel[..., par, :]
+        pa = gang[..., par, :]
+        rp = mul_vec(pr, lpos[..., lvl, :])
+        grot = grot.at[..., lvl, :].set(mul(pr, lrot[..., lvl, :]))
+        gpos = gpos.at[..., lvl, :].set(rp + pp)
+        gvel = gvel.at[..., lvl, :].set(
+            mul_vec(pr, lvel[..., lvl, :]) + _cross(pa, rp) + pv
+        )
+        gang = gang.at[..., lvl, :].set(mul_vec(pr, lang[..., lvl, :]) + pa)
+    return grot, gpos, gvel, gang
+
+
+def fk_vel_chain_all(lrot, lpos, lvel, lang, parents):
+    """Ancestor-chain form of :func:`fk_vel` (training-loss-safe; see
+    xform.py NOTE)."""
     anc = ancestor_chains(_as_parents_key(parents))
     lrotp, lposp, lvelp, langp = _with_identity(lrot, lpos, lvel, lang)
     gr = lrotp[..., anc[:, 0], :]

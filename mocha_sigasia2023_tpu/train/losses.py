@@ -125,7 +125,9 @@ def convert_YtilToX(Ytil, Ygnd_root, parents, compute_dtype=None):
     vel = jnp.concatenate([r_vel, p_vel], axis=2)
     ang = jnp.concatenate([r_ang, p_ang], axis=2)
 
-    Grot, Gpos, Gvel, Gang = quat.fk_vel(rot, pos, vel, ang, parents)
+    # chain-form FK: scatter-based level FK miscompiles inside large fused
+    # training programs on the v5e terminal (see kinematics/xform.py NOTE)
+    Grot, Gpos, Gvel, Gang = quat.fk_vel_chain_all(rot, pos, vel, ang, parents)
 
     r = Grot[:, :, 0:1]
     Xpos = quat.inv_mul_vec(r, Gpos - Gpos[:, :, 0:1])

@@ -286,3 +286,20 @@ class TestInertialization:
             assert bool(np.asarray(cs.state)[0]) == bool(r["state"]), f"frame {i}"
             assert_close(cs.position[0], r["position"], atol=1e-4, rtol=1e-3)
             assert_close(cs.point[0], r["point"], atol=1e-4, rtol=1e-3)
+
+
+class TestFKVariants:
+    def test_chain_matches_level(self):
+        B, T, J = 2, 4, len(MOCHA_PARENTS)
+        lrot, lpos = rand_quat(B, T, J), rand_vec(B, T, J)
+        lvel, lang = rand_vec(B, T, J), rand_vec(B, T, J)
+        a = jq.fk(jnp.asarray(lrot), jnp.asarray(lpos), MOCHA_PARENTS)
+        b = jq.fk_chain_all(jnp.asarray(lrot), jnp.asarray(lpos), MOCHA_PARENTS)
+        assert_close(a[0], b[0], atol=1e-5, rtol=1e-4)
+        assert_close(a[1], b[1], atol=1e-5, rtol=1e-4)
+        va = jq.fk_vel(*(jnp.asarray(x) for x in (lrot, lpos, lvel, lang)),
+                       MOCHA_PARENTS)
+        vb = jq.fk_vel_chain_all(
+            *(jnp.asarray(x) for x in (lrot, lpos, lvel, lang)), MOCHA_PARENTS)
+        for x, y in zip(va, vb):
+            assert_close(x, y, atol=1e-4, rtol=1e-3)
