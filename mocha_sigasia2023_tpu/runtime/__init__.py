@@ -9,4 +9,4 @@ carried state pytree, scanned over frames for offline throughput and
 vmappable over parallel streams.
 """
 
-from . import export, features, matching, stream
+from . import export, features, live, matching, stream

@@ -393,3 +393,35 @@ class TestDeterminism:
             s["consts"], s["parents"], s["src_feats"],
             key=jax.random.PRNGKey(6))
         assert not np.array_equal(out1["trans_pos"], out3["trans_pos"])
+
+
+class TestLiveSession:
+    def test_live_matches_offline_scan(self, setup):
+        """Frame-at-a-time sessions must reproduce the offline scan."""
+        from mocha_sigasia2023_tpu.runtime.live import LiveCharacterizer
+
+        s = setup
+        offline = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            key=jax.random.PRNGKey(9))
+        live = LiveCharacterizer(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], deterministic=True,
+            key=jax.random.PRNGKey(9))
+        N = len(s["src_feats"]["encoded"])
+        for i in range(min(N, 12)):
+            frame = {k: np.asarray(s["src_feats"][k])[i]
+                     for k in LiveCharacterizer.FEAT_KEYS}
+            out = live.push_frame(frame)
+            np.testing.assert_allclose(
+                out["ik_pos"], offline["ik_pos"][i], atol=1e-5, rtol=1e-4,
+                err_msg=f"frame {i}")
+            np.testing.assert_allclose(
+                out["trans_pos"], offline["trans_pos"][i], atol=1e-5,
+                rtol=1e-4)
+        live.reset()
+        out0 = live.push_frame({k: np.asarray(s["src_feats"][k])[0]
+                                for k in LiveCharacterizer.FEAT_KEYS})
+        np.testing.assert_allclose(out0["ik_pos"], offline["ik_pos"][0],
+                                   atol=1e-5, rtol=1e-4)
