@@ -31,6 +31,8 @@ def main():
                     help="production path only (skip the NN cm decode)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 decoder/CVAE matmuls, f32 pose math")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="lax.scan unroll factor for the frame loop")
     ap.add_argument("--latency", action="store_true",
                     help="report per-frame latency of a single live stream "
                          "(device step time; scan time / frames)")
@@ -97,7 +99,7 @@ def main():
                 lambda a: a.astype(jnp.bfloat16), cvae_params)
     run = make_batch_runner(params, cfg, cvae_params, cvae_cfg, consts,
                             parents, compute_cm=not args.single_stream,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, unroll=args.unroll)
     frame0, xs = stack_stream_inputs(feats)
     keys = jax.random.split(jax.random.PRNGKey(7), S)
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.dataset import window_xy_features
+from ..kinematics import quat
 from ..data.preprocess import featurize_clip_jit
 from ..data.windows import padded_window_indices, gather_windows, full_window_indices
 from ..models import generator as gen
@@ -118,8 +119,6 @@ def clip_stream_features(bvh_data: Dict, params, cfg: gen.GeneratorConfig,
 
 
 def _rot_from_Y(Y):
-    from ..kinematics import quat
-
     b, t, j = Y.shape[:3]
     return quat.from_xform_xy(Y[..., 3:9].reshape(b, t, j, 3, 2))
 

@@ -421,7 +421,8 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                       consts: RuntimeConsts, parents, *,
                       contact_bones=(5, 24), ik: IKConfig = IKConfig(),
                       dt: float = 1.0 / 60.0, deterministic: bool = False,
-                      compute_cm: bool = True, compute_dtype=None):
+                      compute_cm: bool = True, compute_dtype=None,
+                      unroll: int = 1):
     """Batched-streams characterizer: vmap the per-frame step over S
     parallel streams and scan over time — the ">=10k frames/sec/chip" play
     (SURVEY.md §5: scale by batching streams, not sharding a window).
@@ -445,7 +446,7 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
 
         carry, out0 = jax.vmap(init_one)(frame0, keys)
         step_v = jax.vmap(lambda c, x: step(ctx, c, x))
-        _, outs = lax.scan(step_v, carry, xs)
+        _, outs = lax.scan(step_v, carry, xs, unroll=unroll)
         # outs: (T-1, S, ...) -> prepend frame 0 -> (T, S, ...)
         return jax.tree.map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, outs)
