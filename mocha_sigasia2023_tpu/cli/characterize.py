@@ -131,6 +131,11 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1777)
     ap.add_argument("--viz", default=None, metavar="FILE.mp4",
                     help="render src/cm/trans/ik side by side to a video")
+    ap.add_argument("--production", action="store_true",
+                    help="serving mode: skip the NN comparison stream "
+                         "(CM output = CVAE output)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 decoder/CVAE matmuls (f32 pose math)")
     args = ap.parse_args(argv)
 
     from ..utils import enable_compilation_cache
@@ -188,10 +193,17 @@ def main(argv=None):
     parents = src_feats["bone_parents"]
 
     print(f"characterizing {len(src_feats['encoded'])} frames ...")
+    compute_dtype = jnp.bfloat16 if args.bf16 else None
+    if args.bf16:
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        if cvae_params is not None:
+            cvae_params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), cvae_params)
     out = rts.characterize_clip(
         params, cfg, cvae_params, cvae_cfg, consts, parents, src_feats,
         contact_bones=tuple(rt.get("contact_bones", (5, 24))), ik=ik_cfg,
         dt=rt.get("dt", 1.0 / 60.0), deterministic=args.deterministic,
+        compute_cm=not args.production, compute_dtype=compute_dtype,
         key=jax.random.PRNGKey(args.seed))
 
     ensure_dirs(args.out)

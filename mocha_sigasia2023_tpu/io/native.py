@@ -58,6 +58,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.mocha_format_frames.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_char_p, ctypes.c_int64]
+        lib.mocha_db_block_f32.restype = ctypes.c_int64
+        lib.mocha_db_block_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
         return _lib
 
@@ -100,3 +105,27 @@ def format_frames(values: np.ndarray) -> str:
         return "".join(
             "".join(f"{v:f} " for v in row) + "\n" for row in values)
     return buf.raw[:w].decode()
+
+
+def read_db_block_f32(buf: bytes, offset: int, ncomp: int):
+    """Read one (u32,u32)+f32[] block of a database.bin via the native
+    reader.  Returns (array (n0, n1, ncomp), next_offset); None if the
+    native library is unavailable (callers fall back to the NumPy codec).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    import struct as _struct
+
+    n0, n1 = _struct.unpack_from("<II", buf, offset)
+    count = n0 * n1 * ncomp
+    out = np.empty(count, dtype=np.float32)
+    shape = np.zeros(2, dtype=np.int64)
+    nxt = lib.mocha_db_block_f32(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf), offset,
+        ncomp, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), count,
+        shape.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if nxt < 0:
+        return None
+    return out.reshape(int(shape[0]), int(shape[1]), ncomp), int(nxt)

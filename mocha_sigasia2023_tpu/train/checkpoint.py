@@ -65,3 +65,29 @@ def restore_like(template, state):
     {'0': ...} dicts, so applying loaded params requires a structural
     template (e.g. a freshly initialized model)."""
     return serialization.from_state_dict(template, state)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (directory-based, async-capable; SURVEY.md §5 recommendation)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(path: str, state: Dict[str, Any]) -> None:
+    """Write a checkpoint directory with orbax (interchangeable content with
+    the msgpack format via the same state-dict structure)."""
+    import orbax.checkpoint as ocp
+
+    state = serialization.to_state_dict(jax.tree.map(np.asarray, state))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, template: Optional[Dict] = None) -> Dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.abspath(path))
+    if template is not None:
+        state = serialization.from_state_dict(template, state)
+    return state

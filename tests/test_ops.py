@@ -98,3 +98,34 @@ class TestFusedDispatch:
             ops_attn.fused_attention = orig_call
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestNativeDBReader:
+    def test_block_reader_matches_python_codec(self, tmp_path):
+        from mocha_sigasia2023_tpu.io.native import read_db_block_f32
+        from mocha_sigasia2023_tpu.io.database import save_database
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        db = {
+            "bone_positions": rng.randn(10, 5, 3).astype(np.float32),
+            "bone_velocities": rng.randn(10, 5, 3).astype(np.float32),
+            "bone_rotations": rng.randn(10, 5, 4).astype(np.float32),
+            "bone_angular_velocities": rng.randn(10, 5, 3).astype(np.float32),
+            "bone_parents": np.arange(5, dtype=np.int32) - 1,
+            "range_starts": np.array([0], np.int32),
+            "range_stops": np.array([10], np.int32),
+            "style_labels": np.array([1], np.int32),
+            "action_labels": np.array([2], np.int32),
+            "contact_states": np.zeros((10, 2), np.uint8),
+        }
+        path = str(tmp_path / "db.bin")
+        save_database(path, db)
+        buf = open(path, "rb").read()
+        res = read_db_block_f32(buf, 0, 3)
+        if res is None:
+            pytest.skip("native library unavailable")
+        pos, off1 = res
+        np.testing.assert_array_equal(pos, db["bone_positions"])
+        vel, _ = read_db_block_f32(buf, off1, 3)
+        np.testing.assert_array_equal(vel, db["bone_velocities"])

@@ -205,3 +205,28 @@ class TestCVAETrainer:
         assert np.isfinite(m2["cvae/kl_loss"])
         arts = trainer.norm_artifacts()
         assert arts["std_weight"].shape == (S, D)
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip_matches_msgpack_content(self, tmp_path):
+        import jax.numpy as jnp
+        from mocha_sigasia2023_tpu.train.checkpoint import (
+            save_checkpoint, load_checkpoint, restore_like,
+            save_checkpoint_orbax, load_checkpoint_orbax)
+        from mocha_sigasia2023_tpu.models.cvae import CVAEConfig, init_cvae
+
+        cfg = CVAEConfig(output_seq=12, latent_dim=16, depth=1, nheads=2,
+                         feedforward_dim=32)
+        params = init_cvae(jax.random.PRNGKey(0), cfg)
+        state = {"cvae": params}
+
+        mp = str(tmp_path / "c.msgpack")
+        od = str(tmp_path / "c_orbax")
+        save_checkpoint(mp, state)
+        save_checkpoint_orbax(od, state)
+
+        template = {"cvae": init_cvae(jax.random.PRNGKey(1), cfg)}
+        a = restore_like(template, load_checkpoint(mp))
+        b = load_checkpoint_orbax(od, template)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
