@@ -241,9 +241,11 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
         new_state = TrainState(params, gen_ema, opt_state, state.step + 1)
         return new_state, metrics
 
-    def step(state, batch_src, batch_cha, norm, rng):
-        params = state.params
-        ks = jax.random.split(rng, 6)
+    def _pieces(params, batch_src, batch_cha, norm, rng):
+        # same split(rng, 8) + key->forward assignment as compute_gen_loss
+        # so split-step and monolithic draw identical dropout masks — the
+        # two modes are then gradient-equivalent (tested in test_train.py)
+        ks = jax.random.split(rng, 8)
         src_in = (batch_src["X"][:, :, 1:] - norm["X_mean"][None, None, 1:]) \
             / norm["X_std"][None, None, 1:]
         cha_in = (batch_cha["X"][:, :, 1:] - norm["X_mean"][None, None, 1:]) \
@@ -251,9 +253,9 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
         src_Y, cha_Y = batch_src["Y"], batch_cha["Y"]
         src_root = src_Y[:, :, 0:1]
 
-        l_rs, g_rs = recon_one(params, src_in, src_Y, norm, ks[0])
-        l_rc, g_rc = recon_one(params, cha_in, cha_Y, norm, ks[1])
-        trans_in = trans_fwd(params, src_in, cha_in, src_root, norm, ks[2])
+        l_rs, g_rs = recon_one(params, src_in, src_Y, norm, ks[1])
+        l_rc, g_rc = recon_one(params, cha_in, cha_Y, norm, ks[2])
+        trans_in = trans_fwd(params, src_in, cha_in, src_root, norm, ks[0])
         (l_nce, logits), (g_nce_p, g_nce_t) = nce_grad(
             params, trans_in, src_in, norm, ks[3])
         l_cs, (g_cs_p, g_cs_t) = cyc_grad_a(
@@ -262,11 +264,30 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
             params, cha_in, trans_in, cha_Y, norm, ks[5])
         cotangent = (weights["nce_w"] * g_nce_t
                      + weights["cyc_w"] * 0.5 * (g_cs_t + g_cc_t))
-        g_trans = trans_vjp(params, src_in, cha_in, src_root, norm, ks[2],
+        g_trans = trans_vjp(params, src_in, cha_in, src_root, norm, ks[0],
                             cotangent)
-        return apply_update(state, g_rs, g_rc, g_nce_p, g_cs_p, g_cc_p,
-                            g_trans, (l_rs, l_rc, l_nce, l_cs, l_cc), logits)
+        return ((g_rs, g_rc, g_nce_p, g_cs_p, g_cc_p, g_trans),
+                (l_rs, l_rc, l_nce, l_cs, l_cc), logits)
 
+    def step(state, batch_src, batch_cha, norm, rng):
+        grads6, losses, logits = _pieces(
+            state.params, batch_src, batch_cha, norm, rng)
+        return apply_update(state, *grads6, losses, logits)
+
+    def compute_grads(params, batch_src, batch_cha, norm, rng):
+        """Combined loss gradient — exposed for the split==mono
+        equivalence test (compares against jax.grad of compute_gen_loss)."""
+        (g_rs, g_rc, g_nce_p, g_cs_p, g_cc_p, g_trans), losses, _ = _pieces(
+            params, batch_src, batch_cha, norm, rng)
+        grads = jax.tree.map(
+            lambda a, b, c, d, e, f: (
+                weights["rec_w"] * 0.5 * (a + b)
+                + weights["nce_w"] * c
+                + weights["cyc_w"] * 0.5 * (d + e) + f),
+            g_rs, g_rc, g_nce_p, g_cs_p, g_cc_p, g_trans)
+        return grads, losses
+
+    step.compute_grads = compute_grads
     return step
 
 

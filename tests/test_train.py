@@ -148,6 +148,61 @@ class TestGeneratorTrainer:
         ema_after = np.asarray(jax.tree.leaves(trainer.state.gen_ema)[0])
         assert not np.allclose(ema_before, ema_after)
 
+    def test_split_step_equals_monolithic(self, tiny_dataset):
+        """The split-step trainer (7 chained programs with explicit
+        cotangent routing, the v5e-terminal miscompile workaround) must
+        produce the SAME gradients and metrics as the monolithic
+        jax.value_and_grad of compute_gen_loss.  Both draw identical
+        dropout masks (same split(rng, 8) key assignment), so equality is
+        exact up to fp reassociation.
+
+        Gradients — not Adam updates — are compared: Adam normalizes by
+        sqrt(v)+eps, which amplifies fp-reassociation noise on near-zero-
+        gradient elements into sign flips (observed 5/8192 elements), so
+        update comparison cannot distinguish noise from a real bug.
+        """
+        from mocha_sigasia2023_tpu.train.trainer import (
+            compute_gen_loss, make_split_step_fns)
+
+        norm = {k: jnp.asarray(v) for k, v in tiny_dataset.norm.items()}
+        batches = list(iterate_batches(tiny_dataset, 8, shuffle=True, seed=0))
+        bs = {k: jnp.asarray(v) for k, v in batches[0].items()}
+        bc = {k: jnp.asarray(v) for k, v in batches[1].items()}
+        rng = jax.random.PRNGKey(42)
+
+        t = GeneratorTrainer(dict(SMALL_CONFIG, split_step=True),
+                             steps_per_epoch=2)
+        assert t.split_step and hasattr(t._train_step, "compute_grads")
+        params = jax.tree.map(jnp.asarray,
+                              jax.tree.map(np.asarray, t.state.params))
+
+        g_split, losses = t._train_step.compute_grads(
+            params, bs, bc, norm, rng)
+
+        def loss_fn(p):
+            total, metrics = compute_gen_loss(
+                p, t.gen_cfg, t.prj_cfg, bs, bc, norm, t.parents,
+                t.weights, rng, train=True, loss_dtype=t.loss_dtype)
+            return total, metrics
+
+        (total_mono, m_mono), g_mono = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+
+        l_rs, l_rc, l_nce, l_cs, l_cc = [float(x) for x in losses]
+        np.testing.assert_allclose(
+            0.5 * (l_rs + l_rc), float(m_mono["gen/loss_recon"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            l_nce, float(m_mono["gen/loss_nce_cnt"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            0.5 * (l_cs + l_cc), float(m_mono["gen/loss_cyc"]), rtol=1e-5)
+
+        flat_s = jax.tree.leaves(jax.tree.map(np.asarray, g_split))
+        flat_m = jax.tree.leaves(jax.tree.map(np.asarray, g_mono))
+        assert len(flat_s) == len(flat_m)
+        gscale = max(float(np.abs(g).max()) for g in flat_m)
+        for a, b in zip(flat_s, flat_m):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6 * gscale)
+
     def test_checkpoint_roundtrip(self, tiny_dataset, tmp_path):
         trainer = GeneratorTrainer(SMALL_CONFIG, steps_per_epoch=2)
         path = trainer.save(str(tmp_path), epoch=25)
