@@ -58,8 +58,20 @@ class RuntimeConsts(NamedTuple):
 
 
 class StreamCarry(NamedTuple):
+    """Per-stream carried state.
+
+    The root integrators (``*_pos0``/``*_rot0``) and the contact springs
+    are the only unbounded accumulators in the loop — everything else is
+    re-derived per frame or decays (the 0.5-blend halves errors each
+    step).  With ``root_dtype=float64`` those accumulators run in f64
+    (tiny: a handful of scalars per stream) while decode/FK/IK stay f32,
+    closing the long-horizon drift vs the f64 NumPy reference
+    (test_fullframework.py:476-528) to <1e-3 over 500+ frames.
+    """
+
     src_pos0: jnp.ndarray        # (3,) integrated source root position
     src_rot0: jnp.ndarray        # (4,)
+    trans_pos0: jnp.ndarray      # (3,) CVAE-stream root position accumulator
     trans_prev_pos: jnp.ndarray  # (J, 3) last blended CVAE-stream pose
     trans_rot0: jnp.ndarray      # (4,) CVAE-stream root rotation
     ik_prev_pos: jnp.ndarray     # (J, 3) last IK-adjusted pose
@@ -68,6 +80,17 @@ class StreamCarry(NamedTuple):
     prev_cha_encoded: jnp.ndarray  # (tokens, dim)
     contacts: ContactState       # batched over the 2 contact bones
     key: jax.Array
+
+
+def _resolve_root_dtype(root_dtype):
+    """float64 accumulators require the global x64 flag; enable it on
+    first use (the trainer already does the same for loss_dtype)."""
+    if root_dtype is None:
+        return jnp.float32
+    root_dtype = jnp.dtype(root_dtype)
+    if root_dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    return root_dtype
 
 
 def _decode_frames(params, cfg, consts: RuntimeConsts, src_enc, cha_encs,
@@ -120,12 +143,14 @@ def _guarded_ratio(pred_speed_mean, src_speed_mean):
 
 
 def _assemble(rootpos, rootrot, rootvel, rootang, pos, rot, vel, ang):
-    """Prepend the integrated root bone row (test_fullframework.py:505-508)."""
+    """Prepend the integrated root bone row (test_fullframework.py:505-508).
+    Root rows are cast down to the pose dtype so f64 root accumulators
+    don't promote the whole pose (decode/FK/IK stay f32)."""
     return (
-        jnp.concatenate([rootpos[None], pos], axis=0),
-        jnp.concatenate([rootrot[None], rot], axis=0),
-        jnp.concatenate([rootvel[None], vel], axis=0),
-        jnp.concatenate([rootang[None], ang], axis=0),
+        jnp.concatenate([rootpos[None].astype(pos.dtype), pos], axis=0),
+        jnp.concatenate([rootrot[None].astype(rot.dtype), rot], axis=0),
+        jnp.concatenate([rootvel[None].astype(vel.dtype), vel], axis=0),
+        jnp.concatenate([rootang[None].astype(ang.dtype), ang], axis=0),
     )
 
 
@@ -156,8 +181,10 @@ def _ik_fixup(parents_key, contact_bones, ik: IKConfig, dt,
 
     grot, gpos = quat.fk(bone_rot, bone_pos, parents)
 
+    # cast to the spring-state dtype (f64 under root_dtype=float64) so the
+    # carried ContactState keeps a stable dtype across scan iterations
     new_cs = contact_update(
-        contacts, gpos[toes], input_state,
+        contacts, gpos[toes].astype(contacts.position.dtype), input_state,
         ik.unlock_radius, ik.foot_height, ik.blending_halflife, dt)
 
     contact_clamped = jnp.concatenate(
@@ -180,7 +207,8 @@ def _ik_fixup(parents_key, contact_bones, ik: IKConfig, dt,
         ik.max_length_buffer,
     )
 
-    adjusted = bone_rot.at[hips].set(new_hip_lr).at[knees].set(new_knee_lr)
+    adjusted = (bone_rot.at[hips].set(new_hip_lr.astype(bone_rot.dtype))
+                .at[knees].set(new_knee_lr.astype(bone_rot.dtype)))
     return new_cs, adjusted
 
 
@@ -189,7 +217,7 @@ def make_stream_step(cfg: gen.GeneratorConfig,
                      contact_bones=(5, 24), ik: IKConfig = IKConfig(),
                      dt: float = 1.0 / 60.0, deterministic: bool = False,
                      use_cvae: bool = True, compute_cm: bool = True,
-                     compute_dtype=None):
+                     compute_dtype=None, root_dtype=None):
     """Build the pure per-frame step function.
 
     step(ctx, carry, frame_inputs) -> (carry, outputs) where ctx =
@@ -199,6 +227,7 @@ def make_stream_step(cfg: gen.GeneratorConfig,
     """
     parents_key = tuple(int(p) for p in parents)
     cbones = tuple(int(b) for b in contact_bones)
+    root_dtype = _resolve_root_dtype(root_dtype)
 
     def step(ctx, carry: StreamCarry, x: Dict):
         params, cvae_params, consts = ctx
@@ -250,18 +279,20 @@ def make_stream_step(cfg: gen.GeneratorConfig,
             c_pos, c_rot, c_vel, c_ang, c_speed = (
                 t_pos, t_rot, t_vel, t_ang, t_speed)
 
-        # --- source root integration -------------------------------------
+        # --- source root integration (f64 accumulators when root_dtype
+        # is float64; pose-level outputs cast back to f32) -----------------
         s_rootpos, s_rootrot, s_rootvel, s_rootang = _integrate_root(
             carry.src_pos0, carry.src_rot0, x["rvel_last"], x["rang_last"], dt)
-        src_pos = x["pos_last"].at[0].set(s_rootpos)
-        src_rot = x["rot_last"].at[0].set(s_rootrot)
-        src_vel = x["vel_last"].at[0].set(s_rootvel)
-        src_ang = x["ang_last"].at[0].set(s_rootang)
+        f32 = x["pos_last"].dtype
+        src_pos = x["pos_last"].at[0].set(s_rootpos.astype(f32))
+        src_rot = x["rot_last"].at[0].set(s_rootrot.astype(f32))
+        src_vel = x["vel_last"].at[0].set(s_rootvel.astype(f32))
+        src_ang = x["ang_last"].at[0].set(s_rootang.astype(f32))
 
         # --- CVAE/trans stream root integration --------------------------
         t_ratio = _guarded_ratio(t_speed, x["hips_speed_mean"])
         t_rootpos, t_rootrot, t_rootvel, t_rootang = _integrate_root(
-            carry.trans_prev_pos[0], carry.trans_rot0,
+            carry.trans_pos0, carry.trans_rot0,
             x["rvel_last"] * t_ratio, x["rang_last"], dt)
         trans_pos, trans_rot, trans_vel, trans_ang = _assemble(
             t_rootpos, t_rootrot, t_rootvel, t_rootang,
@@ -293,8 +324,9 @@ def make_stream_step(cfg: gen.GeneratorConfig,
         new_carry = StreamCarry(
             src_pos0=s_rootpos,
             src_rot0=s_rootrot,
+            trans_pos0=t_rootpos,
             trans_prev_pos=trans_blended,
-            trans_rot0=trans_rot[0],
+            trans_rot0=t_rootrot,
             ik_prev_pos=ik_blend,
             cm_pos0=c_rootpos,
             cm_rot0=c_rootrot,
@@ -318,12 +350,13 @@ def make_stream_step(cfg: gen.GeneratorConfig,
 
 def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
                 contact_bones=(5, 24), dt: float = 1.0 / 60.0,
-                key: Optional[jax.Array] = None):
+                key: Optional[jax.Array] = None, root_dtype=None):
     """Frame-0 bootstrap (test_fullframework.py:288-435): NN match, decode,
     identity-root integration, contact-state reset at the decoded toe pose.
     Returns (carry, frame0 outputs)."""
     key = jax.random.PRNGKey(0) if key is None else key
     parents_key = tuple(int(p) for p in parents)
+    root_dtype = _resolve_root_dtype(root_dtype)
 
     src_cnt_nm = (frame0["cnt"] - consts.cnt_mean) / consts.cnt_std
     idx = nn_index(src_cnt_nm.reshape(-1), consts.cha_cnt_flat, consts.cha_cnt_sq)
@@ -332,16 +365,17 @@ def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
     t_pos, t_rot, t_vel, t_ang, t_speed = _decode_frame(
         params, cfg, consts, frame0["encoded"], cha_enc)
 
-    identity = jnp.asarray([1.0, 0.0, 0.0, 0.0], t_pos.dtype)
-    zero3 = jnp.zeros(3, t_pos.dtype)
+    identity = jnp.asarray([1.0, 0.0, 0.0, 0.0], root_dtype)
+    zero3 = jnp.zeros(3, root_dtype)
 
     # source bootstrap
     s_rootpos, s_rootrot, s_rootvel, s_rootang = _integrate_root(
         zero3, identity, frame0["rvel_last"], frame0["rang_last"], dt)
-    src_pos = frame0["pos_last"].at[0].set(s_rootpos)
-    src_rot = frame0["rot_last"].at[0].set(s_rootrot)
-    src_vel = frame0["vel_last"].at[0].set(s_rootvel)
-    src_ang = frame0["ang_last"].at[0].set(s_rootang)
+    f32 = frame0["pos_last"].dtype
+    src_pos = frame0["pos_last"].at[0].set(s_rootpos.astype(f32))
+    src_rot = frame0["rot_last"].at[0].set(s_rootrot.astype(f32))
+    src_vel = frame0["vel_last"].at[0].set(s_rootvel.astype(f32))
+    src_ang = frame0["ang_last"].at[0].set(s_rootang.astype(f32))
 
     # characterized bootstrap (both streams share the NN match at frame 0)
     ratio = _guarded_ratio(t_speed, frame0["hips_speed_mean"])
@@ -358,11 +392,13 @@ def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
             trans_rot, trans_pos, trans_vel, trans_ang, parents_key, int(b))
         toe_pos.append(gp)
         toe_vel.append(gv)
-    cs = ContactState.init(jnp.stack(toe_pos), jnp.stack(toe_vel))
+    cs = ContactState.init(jnp.stack(toe_pos).astype(root_dtype),
+                           jnp.stack(toe_vel).astype(root_dtype))
 
     carry = StreamCarry(
         src_pos0=s_rootpos, src_rot0=s_rootrot,
-        trans_prev_pos=trans_pos, trans_rot0=trans_rot[0],
+        trans_pos0=t_rootpos, trans_prev_pos=trans_pos,
+        trans_rot0=t_rootrot,
         ik_prev_pos=trans_pos,
         cm_pos0=t_rootpos, cm_rot0=t_rootrot,
         prev_cha_encoded=cha_enc,
@@ -380,34 +416,47 @@ def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
     return carry, outputs
 
 
+def _as_f32_feats(stream_feats: Dict) -> Dict:
+    """Load the stream feature pytree as f32 (contact included) — explicit
+    so enabling x64 for f64 root accumulators can't promote the inputs."""
+    feat_keys = ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
+                 "ang_last", "rvel_last", "rang_last", "contact_last",
+                 "hips_speed_mean")
+    return {k: jnp.asarray(np.asarray(stream_feats[k]), jnp.float32)
+            for k in feat_keys}
+
+
 def characterize_clip(params, cfg, cvae_params, cvae_cfg,
                       consts: RuntimeConsts, parents, stream_feats: Dict,
                       *, contact_bones=(5, 24), ik: IKConfig = IKConfig(),
                       dt: float = 1.0 / 60.0, deterministic: bool = False,
                       compute_cm: bool = True, compute_dtype=None,
+                      root_dtype=jnp.float64,
                       key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
     """Offline characterization of a whole clip: frame-0 init + `lax.scan`
-    over the remaining frames, all inside one jit."""
+    over the remaining frames, all inside one jit.
+
+    ``root_dtype`` defaults to float64 here (the offline demo path, where
+    BASELINE's 1e-3 long-horizon fidelity bound applies); the batched
+    throughput runner defaults to f32.
+    """
     use_cvae = cvae_params is not None
     step = make_stream_step(cfg, cvae_cfg, parents, contact_bones, ik, dt,
                             deterministic, use_cvae=use_cvae,
                             compute_cm=compute_cm,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype,
+                            root_dtype=root_dtype)
 
-    feat_keys = ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
-                 "ang_last", "rvel_last", "rang_last", "contact_last",
-                 "hips_speed_mean")
-    xs_all = {k: jnp.asarray(np.asarray(stream_feats[k])) for k in feat_keys}
+    xs_all = _as_f32_feats(stream_feats)
     frame0 = {k: v[0] for k, v in xs_all.items()}
     xs = {k: v[1:] for k, v in xs_all.items()}
-    xs["contact_last"] = xs["contact_last"].astype(jnp.float32)
-    frame0["contact_last"] = frame0["contact_last"].astype(jnp.float32)
 
     @jax.jit
     def run(params, cvae_params, consts, frame0, xs, key):
         ctx = (params, cvae_params, consts)
         carry, out0 = init_stream(params, cfg, consts, parents, frame0,
-                                  contact_bones, dt, key)
+                                  contact_bones, dt, key,
+                                  root_dtype=root_dtype)
         _, outs = lax.scan(lambda c, x: step(ctx, c, x), carry, xs)
         return jax.tree.map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, outs)
@@ -422,7 +471,7 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                       contact_bones=(5, 24), ik: IKConfig = IKConfig(),
                       dt: float = 1.0 / 60.0, deterministic: bool = False,
                       compute_cm: bool = True, compute_dtype=None,
-                      unroll: int = 1):
+                      root_dtype=None, unroll: int = 1):
     """Batched-streams characterizer: vmap the per-frame step over S
     parallel streams and scan over time — the ">=10k frames/sec/chip" play
     (SURVEY.md §5: scale by batching streams, not sharding a window).
@@ -434,7 +483,8 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
     step = make_stream_step(cfg, cvae_cfg, parents, contact_bones, ik, dt,
                             deterministic, use_cvae=use_cvae,
                             compute_cm=compute_cm,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype,
+                            root_dtype=root_dtype)
 
     @jax.jit
     def run(params, cvae_params, consts, frame0, xs, keys):
@@ -442,7 +492,8 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
 
         def init_one(f0, key):
             return init_stream(params, cfg, consts, parents, f0,
-                               contact_bones, dt, key)
+                               contact_bones, dt, key,
+                               root_dtype=root_dtype)
 
         carry, out0 = jax.vmap(init_one)(frame0, keys)
         step_v = jax.vmap(lambda c, x: step(ctx, c, x))
@@ -461,11 +512,7 @@ def stack_stream_inputs(stream_feats: Dict):
     """Split featurized-clip arrays into (frame0, xs) pytrees for
     make_batch_runner; leading axes (S, T, ...) -> frame0 (S, ...),
     xs (T-1, S, ...)."""
-    feat_keys = ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
-                 "ang_last", "rvel_last", "rang_last", "contact_last",
-                 "hips_speed_mean")
-    arrs = {k: jnp.asarray(np.asarray(stream_feats[k])) for k in feat_keys}
-    arrs["contact_last"] = arrs["contact_last"].astype(jnp.float32)
+    arrs = _as_f32_feats(stream_feats)
     frame0 = {k: v[:, 0] for k, v in arrs.items()}
     xs = {k: jnp.moveaxis(v[:, 1:], 0, 1) for k, v in arrs.items()}
     return frame0, xs

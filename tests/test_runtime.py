@@ -72,6 +72,10 @@ def setup():
     src_feats = rtf.clip_stream_features(src_bvh, params, cfg, norm)
     cha_feats = rtf.clip_stream_features(cha_bvh, params, cfg, norm)
 
+    # long clip for the >=500-frame drift bound (window 60 -> 501 frames)
+    src_bvh_long = make_mocha_bvh_data(T=560, seed=23)
+    src_feats_long = rtf.clip_stream_features(src_bvh_long, params, cfg, norm)
+
     cnt_mean = cha_feats["cnt"].mean(axis=0)
     cnt_std = cha_feats["cnt"].std(axis=0) + 1e-6
     enc_mean = cha_feats["encoded"].mean(axis=0)
@@ -97,7 +101,8 @@ def setup():
 
     return dict(ref_gen=ref_gen, ref_cvae=ref_cvae, cfg=cfg, params=params,
                 cvae_cfg=cvae_cfg, cvae_params=cvae_params, norm=norm,
-                src_feats=src_feats, cha_feats=cha_feats, consts=consts,
+                src_feats=src_feats, src_feats_long=src_feats_long,
+                cha_feats=cha_feats, consts=consts,
                 parents=src_feats["bone_parents"],
                 names=src_feats["bone_names"])
 
@@ -129,7 +134,7 @@ class TestStreamSmoke:
         assert len(loaded["names"]) == 24
 
 
-def reference_oracle_loop(s):
+def reference_oracle_loop(s, sf=None):
     """NumPy/torch re-implementation of the reference demo frame loop
     (test_fullframework.py:288-641) used as the parity oracle."""
     from sklearn.neighbors import BallTree
@@ -137,7 +142,8 @@ def reference_oracle_loop(s):
     model = s["ref_gen"]
     cvae = s["ref_cvae"]
     norm = s["norm"]
-    sf, cf = s["src_feats"], s["cha_feats"]
+    sf = s["src_feats"] if sf is None else sf
+    cf = s["cha_feats"]
     parents = np.asarray(s["parents"])
     contact_bones = np.array([5, 24])
 
@@ -364,13 +370,32 @@ class TestStreamParity:
         np.testing.assert_array_less(1.0 - 2e-4, qd)
 
         np.testing.assert_allclose(ours["cm_pos"], ref["cm_pos"],
-                                   atol=5e-3, rtol=1e-2)
+                                   atol=1e-3, rtol=1e-3)
         np.testing.assert_allclose(ours["trans_pos"], ref["trans_pos"],
-                                   atol=5e-3, rtol=1e-2)
+                                   atol=1e-3, rtol=1e-3)
         np.testing.assert_allclose(ours["ik_pos"], ref["ik_pos"],
-                                   atol=5e-3, rtol=1e-2)
+                                   atol=1e-3, rtol=1e-3)
         qd = np.abs(np.sum(ours["ik_rot"] * ref["ik_rot"], axis=-1))
         np.testing.assert_array_less(1.0 - 5e-3, qd)
+
+    def test_long_horizon_drift_under_1e3(self, setup):
+        """BASELINE fidelity bound: joint positions within 1e-3 of the
+        reference over a LONG horizon (501 integrated frames).  The root
+        integrators and contact springs carry f64 (StreamCarry docstring);
+        without that, f32 accumulation drifts to ~5e-3 by frame 100."""
+        s = setup
+        sf = s["src_feats_long"]
+        assert len(sf["encoded"]) >= 500
+        ours = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], sf, deterministic=True)
+        ref = reference_oracle_loop(s, sf)
+
+        for k in ("src_pos", "cm_pos", "trans_pos", "ik_pos"):
+            err = np.abs(ours[k] - ref[k]).max()
+            assert err <= 1e-3, f"{k}: max |err| {err:.2e} > 1e-3 @500 frames"
+        qd = np.abs(np.sum(ours["ik_rot"] * ref["ik_rot"], axis=-1))
+        np.testing.assert_array_less(1.0 - 1e-3, qd)
 
 
 class TestDeterminism:
