@@ -36,9 +36,36 @@ def main():
     ap.add_argument("--latency", action="store_true",
                     help="report per-frame latency of a single live stream "
                          "(device step time; scan time / frames)")
+    ap.add_argument("--live", action="store_true",
+                    help="time LiveCharacterizer.push_frame per frame "
+                         "(real serving latency incl. host dispatch); "
+                         "reports p50/p99 over >=1k frames")
+    ap.add_argument("--train", action="store_true",
+                    help="generator training steps/sec at reference scale "
+                         "(batch 64, full model)")
+    ap.add_argument("--monolithic", action="store_true",
+                    help="with --train: use the single-program step instead "
+                         "of the split-step workaround")
+    ap.add_argument("--train-steps", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--attn", action="store_true",
+                    help="A/B the Pallas fused attention vs the XLA einsum "
+                         "path at decoder shapes")
+    ap.add_argument("--fused-attention", action="store_true",
+                    help="enable the Pallas fused-attention dispatch in the "
+                         "stream step for this run")
     args = ap.parse_args()
-    if args.latency:
+    if args.attn:
+        return bench_attn(args)
+    if args.fused_attention:
+        from mocha_sigasia2023_tpu.ops import attention as _fa
+        _fa.set_fused_attention(True)
+    if args.train:
+        return bench_train(args)
+    if args.latency or args.live:
         args.streams = 1
+    if args.live and args.frames < 1000:
+        args.frames = 1010
 
     import jax
     import jax.numpy as jnp
@@ -97,6 +124,10 @@ def main():
         if cvae_params is not None:
             cvae_params = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16), cvae_params)
+    if args.live:
+        return bench_live(args, params, cfg, cvae_params, cvae_cfg, consts,
+                          parents, feats)
+
     run = make_batch_runner(params, cfg, cvae_params, cvae_cfg, consts,
                             parents, compute_cm=not args.single_stream,
                             compute_dtype=compute_dtype, unroll=args.unroll)
@@ -142,6 +173,195 @@ def main():
             "unit": "frames/s/chip",
             "vs_baseline": round(fps / 60.0, 2),
         }
+    print(json.dumps(result))
+
+
+def bench_live(args, params, cfg, cvae_params, cvae_cfg, consts, parents,
+               feats):
+    """Real live-serving latency: LiveCharacterizer.push_frame wall time
+    per frame, p50/p99, including host dispatch and output materialization
+    (the axon relay adds a fixed host<->device RTT per frame; the reported
+    relay_floor_ms — the time to fetch one tiny ready array — bounds it)."""
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mocha_sigasia2023_tpu.runtime.live import LiveCharacterizer
+
+    lc = LiveCharacterizer(params, cfg, cvae_params, cvae_cfg, consts,
+                           parents, deterministic=False)
+    T = args.frames
+    frames = [{k: feats[k][0, i] for k in LiveCharacterizer.FEAT_KEYS}
+              for i in range(T)]
+
+    # warmup: compile init + step programs
+    lc.push_frame(frames[0])
+    for i in range(1, 4):
+        lc.push_frame(frames[i])
+    lc.reset()
+
+    # relay floor: host-fetch of a tiny, already-computed device array
+    tiny = jnp.zeros((4,), jnp.float32) + 1
+    np.asarray(tiny)
+    floors = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        np.asarray(tiny + 0)  # noqa — one dispatch + one fetch
+        floors.append(time.perf_counter() - t0)
+    relay_floor_ms = float(np.median(floors) * 1e3)
+
+    times = []
+    lc.push_frame(frames[0])  # frame-0 init outside the measured window
+    for i in range(1, T):
+        t0 = time.perf_counter()
+        lc.push_frame(frames[i])
+        times.append(time.perf_counter() - t0)
+    arr = np.asarray(times) * 1e3
+    p50 = float(np.percentile(arr, 50))
+    p99 = float(np.percentile(arr, 99))
+    result = {
+        "metric": "live_push_frame_latency_p50",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "vs_baseline": round((1000.0 / 60.0) / p50, 2),
+        "p99_ms": round(p99, 3),
+        "frames": len(arr),
+        "relay_floor_ms": round(relay_floor_ms, 3),
+    }
+    print(json.dumps(result))
+
+
+def bench_attn(args):
+    """On-chip A/B: ops.attention.fused_attention (Pallas) vs the plain
+    XLA einsum+softmax at the decoder shapes (B=2x64 streams, 4 heads,
+    90 tokens, head dim 256 — model.py:62-68)."""
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mocha_sigasia2023_tpu.ops.attention import fused_attention
+
+    B, H, N, d = 2 * args.streams, 4, 90, 256
+    scale = d ** -0.5
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, H, N, d), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, N, d),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, N, d),
+                          jnp.float32)
+
+    @jax.jit
+    def xla_attn(q, k, v):
+        dots = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+        p = jax.nn.softmax(dots, axis=-1)
+        return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+    pallas_attn = jax.jit(lambda q, k, v: fused_attention(q, k, v,
+                                                          scale=scale))
+
+    def measure(fn, iters=50):
+        out = fn(q, k, v)
+        np.asarray(out[0, 0, 0, 0])  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(q, k, v)
+        np.asarray(out[0, 0, 0, 0])
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    ms_xla = measure(xla_attn)
+    ms_pallas = measure(pallas_attn)
+    a = np.asarray(xla_attn(q, k, v))
+    b = np.asarray(pallas_attn(q, k, v))
+    max_diff = float(np.abs(a - b).max())
+    result = {
+        "metric": "fused_attention_speedup_vs_xla",
+        "value": round(ms_xla / ms_pallas, 3),
+        "unit": "x",
+        "vs_baseline": 1.0,
+        "xla_ms": round(ms_xla, 4),
+        "pallas_ms": round(ms_pallas, 4),
+        "max_abs_diff": max_diff,
+        "shape": [B, H, N, d],
+    }
+    print(json.dumps(result))
+
+
+def bench_train(args):
+    """Generator-trainer throughput at reference scale (batch 64, full
+    model, 6 forwards + FK losses per step — configs/config.yaml:49-63).
+    Reports steps/s and windows/s for the split-step (default) or
+    monolithic (--monolithic) mode."""
+    import os
+    import time
+
+    import numpy as np
+    import jax
+
+    from mocha_sigasia2023_tpu.utils.config import get_config
+    from mocha_sigasia2023_tpu.train.trainer import GeneratorTrainer
+
+    config = get_config(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "mocha_sigasia2023_tpu", "configs", "config.yaml"))
+    config["split_step"] = not args.monolithic
+    trainer = GeneratorTrainer(config, steps_per_epoch=100)
+
+    B, T, J = args.batch_size, 60, 25
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "X": r.randn(B, T, J, 15).astype(np.float32),
+            "Y": r.randn(B, T, J, 15).astype(np.float32),
+            "root": r.randn(B, T, 6).astype(np.float32),
+            "contact": r.rand(B, T, 2).astype(np.float32),
+            "label": np.zeros(B, np.int32),
+        }
+
+    norm = {
+        "X_mean": np.zeros((J, 15), np.float32),
+        "X_std": np.ones((J, 15), np.float32),
+        "Y_mean": np.zeros((J, 15), np.float32),
+        "Y_std": np.ones((J, 15), np.float32),
+    }
+    batches = [make_batch(s) for s in range(4)]
+    key = jax.random.PRNGKey(0)
+
+    # warmup/compile
+    for i in range(2):
+        key, sub = jax.random.split(key)
+        m = trainer.train_step(batches[i % 2], batches[(i + 1) % 2],
+                               norm, sub)
+        total = float(m["gen/loss_total"])  # host fetch = sync barrier
+    assert np.isfinite(total), (
+        "training step produced non-finite loss (v5e terminal XLA "
+        "miscompile? see train/trainer.py make_split_step_fns)")
+
+    t0 = time.perf_counter()
+    for i in range(args.train_steps):
+        key, sub = jax.random.split(key)
+        m = trainer.train_step(batches[i % 4], batches[(i + 1) % 4],
+                               norm, sub)
+    # fetch only the last metric: dispatches chain on-device, one sync
+    total = float(m["gen/loss_total"])
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(total)
+
+    steps_per_sec = args.train_steps / elapsed
+    mode = "monolithic" if args.monolithic else "split"
+    result = {
+        "metric": f"train_steps_per_sec_{mode}",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        # no reference number exists; report windows/s context instead
+        "vs_baseline": round(steps_per_sec * B, 1),
+        "windows_per_sec": round(steps_per_sec * B, 1),
+        "batch_size": B,
+    }
     print(json.dumps(result))
 
 

@@ -37,12 +37,15 @@ class LiveCharacterizer:
     FEAT_KEYS = ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
                  "ang_last", "rvel_last", "rang_last", "contact_last",
                  "hips_speed_mean")
+    OUT_KEYS = ("src_pos", "src_rot", "src_vel", "src_ang",
+                "trans_pos", "trans_rot", "ik_pos", "ik_rot",
+                "cm_pos", "cm_rot", "contact", "nn_index")
 
     def __init__(self, params, cfg: gen.GeneratorConfig, cvae_params,
                  cvae_cfg: Optional[jcvae.CVAEConfig], consts: RuntimeConsts,
                  parents, *, contact_bones=(5, 24), ik: IKConfig = IKConfig(),
                  dt: float = 1.0 / 60.0, deterministic: bool = False,
-                 key: Optional[jax.Array] = None):
+                 root_dtype=None, key: Optional[jax.Array] = None):
         self._params = params
         self._cvae_params = cvae_params
         self._consts = consts
@@ -52,23 +55,82 @@ class LiveCharacterizer:
         self._dt = dt
         self._key = jax.random.PRNGKey(1777) if key is None else key
 
+        tok, dim = cfg.num_tokens, cfg.encoder_dim
+        J = cfg.njoints + 1
+        self._feat_shapes = {
+            "encoded": (tok, dim), "cnt": (tok, dim),
+            "pos_last": (J, 3), "rot_last": (J, 4),
+            "vel_last": (J, 3), "ang_last": (J, 3),
+            "rvel_last": (3,), "rang_last": (3,),
+            "contact_last": (2,), "hips_speed_mean": (),
+        }
+        self._out_shapes = {
+            "src_pos": (J, 3), "src_rot": (J, 4),
+            "src_vel": (J, 3), "src_ang": (J, 3),
+            "trans_pos": (J, 3), "trans_rot": (J, 4),
+            "ik_pos": (J, 3), "ik_rot": (J, 4),
+            "cm_pos": (J, 3), "cm_rot": (J, 4),
+            "contact": (2,), "nn_index": (),
+        }
+
+        # root_dtype=float64 closes long-horizon drift for always-on
+        # sessions; default f32 keeps the per-frame latency path lean
         step = rts.make_stream_step(
             cfg, cvae_cfg, parents, self._contact_bones, ik, dt,
-            deterministic, use_cvae=cvae_params is not None)
+            deterministic, use_cvae=cvae_params is not None,
+            root_dtype=root_dtype)
 
-        self._step = jax.jit(
-            lambda params, cvae_params, consts, carry, x: step(
-                (params, cvae_params, consts), carry, x))
-        self._init = jax.jit(
-            lambda params, consts, frame0, key: rts.init_stream(
-                params, cfg, consts, parents, frame0, self._contact_bones,
-                dt, key))
+        # Serving-latency structure: ONE flat f32 array crosses host->device
+        # per frame and ONE comes back (a frame dict would cost a transfer
+        # round-trip per leaf — 22 crossings; measured 419 ms p50 through
+        # the relay vs ~70 ms packed).  Unflatten/flatten happen inside the
+        # jitted program where they fuse to nothing.
+        feat_shapes = dict(self._feat_shapes)
+
+        def unflatten(flat):
+            x, o = {}, 0
+            for k in self.FEAT_KEYS:
+                shp = feat_shapes[k]
+                n = int(np.prod(shp)) if shp else 1
+                x[k] = flat[o:o + n].reshape(shp)
+                o += n
+            return x
+
+        def flatten_out(out):
+            return jnp.concatenate(
+                [out[k].astype(jnp.float32).reshape(-1)
+                 for k in self.OUT_KEYS])
+
+        def packed_step(params, cvae_params, consts, carry, flat):
+            carry, out = step((params, cvae_params, consts), carry,
+                              unflatten(flat))
+            return carry, flatten_out(out)
+
+        def packed_init(params, consts, flat, key):
+            carry, out = rts.init_stream(
+                params, cfg, consts, parents, unflatten(flat),
+                self._contact_bones, dt, key, root_dtype=root_dtype)
+            return carry, flatten_out(out)
+
+        self._step = jax.jit(packed_step, donate_argnums=(3,))
+        self._init = jax.jit(packed_init)
         self._carry: Optional[StreamCarry] = None
 
-    def _pack(self, frame: Dict) -> Dict:
-        x = {k: jnp.asarray(np.asarray(frame[k])) for k in self.FEAT_KEYS}
-        x["contact_last"] = x["contact_last"].astype(jnp.float32)
-        return x
+    def _pack(self, frame: Dict) -> jax.Array:
+        flat = np.concatenate(
+            [np.asarray(frame[k], np.float32).reshape(-1)
+             for k in self.FEAT_KEYS])
+        return jnp.asarray(flat)
+
+    def _unpack_out(self, flat_out: np.ndarray) -> Dict[str, np.ndarray]:
+        out, o = {}, 0
+        for k in self.OUT_KEYS:
+            shp = self._out_shapes[k]
+            n = int(np.prod(shp)) if shp else 1
+            out[k] = flat_out[o:o + n].reshape(shp)
+            o += n
+        out["nn_index"] = out["nn_index"].astype(np.int64)
+        return out
 
     def reset(self) -> None:
         self._carry = None
@@ -85,4 +147,4 @@ class LiveCharacterizer:
             self._carry, out = self._step(
                 self._params, self._cvae_params, self._consts,
                 self._carry, x)
-        return jax.tree.map(np.asarray, out)
+        return self._unpack_out(np.asarray(out))
