@@ -30,6 +30,52 @@ def strip_module_prefix(state_dict: Dict) -> Dict:
     }
 
 
+class _Tracker(dict):
+    """Records which state_dict keys a converter reads, so conversion can
+    assert that NO reference key is silently dropped (a renamed key in a
+    future reference checkpoint would otherwise vanish without error)."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def leftovers(self):
+        return sorted(set(self.keys()) - self.consumed)
+
+
+def _check_consumed(tracker: _Tracker, what: str, strict: bool,
+                    ignore=()):
+    import re
+
+    left = [k for k in tracker.leftovers()
+            if not any(re.search(p, k) for p in ignore)]
+    if left and strict:
+        raise ValueError(
+            f"{what} conversion dropped {len(left)} state_dict key(s): "
+            f"{left[:8]}{' ...' if len(left) > 8 else ''} — reference "
+            f"schema drifted? Pass strict=False to ignore.")
+
+
+# Non-trainable reference buffers we recompute from the graph config
+# instead of loading: hop-distance adjacency stacks (net/graph.py:280-323,
+# registered as A_j/A_b) and the fixed joint<->bodypart pooling matrices
+# (net/graph.py:461,339-447).  Value-identity with our recomputed constants
+# is asserted by tests/test_models.py's graph tests.
+_GENERATOR_BUFFER_KEYS = (
+    r"(^|\.)A_[jb]$",
+    r"^mot_embedding\.3\.weight$",   # PoolJointToBodypart buffer
+    r"^to_mot\.3\.weight$",          # UnpoolBodypartToJoint buffer
+)
+
+# Deterministic sincos positional-encoding buffers (model_CVAE.py
+# PositionalEncoding) — recomputed by models/cvae.py.
+_CVAE_BUFFER_KEYS = (r"(^|\.)pos_encoder\.pe$",)
+
+
 def load_torch_file(path: str):
     """Load a .pt file; returns the raw object (requires torch)."""
     import torch  # local import: conversion-only dependency
@@ -98,10 +144,11 @@ def _transformer_from_torch(sd: Dict, prefix: str, depth: int,
 
 
 def generator_from_torch(state_dict: Dict, encoder_depth: int = 2,
-                         decoder_depth: int = 2) -> Dict:
-    """Reference Generator state_dict (model.py:15-106) -> our pytree."""
-    sd = strip_module_prefix(state_dict)
-    return {
+                         decoder_depth: int = 2, strict: bool = True) -> Dict:
+    """Reference Generator state_dict (model.py:15-106) -> our pytree.
+    ``strict`` errors if any checkpoint key goes unconsumed."""
+    sd = _Tracker(strip_module_prefix(state_dict))
+    params = {
         "pos_emb": _np(sd["pos_emb"]),
         "embed": {
             "conv_in": {"weight": _np(sd["mot_embedding.1.weight"]),
@@ -118,6 +165,8 @@ def generator_from_torch(state_dict: Dict, encoder_depth: int = 2,
                          "bias": _np(sd["to_mot.6.bias"])},
         },
     }
+    _check_consumed(sd, "Generator", strict, ignore=_GENERATOR_BUFFER_KEYS)
+    return params
 
 
 # ---------------------------------------------------------------------------
@@ -160,10 +209,12 @@ def _dec_layer_from_torch(sd: Dict, prefix: str) -> Dict:
     }
 
 
-def cvae_from_torch(state_dict: Dict, depth: int = 2) -> Dict:
-    """Reference CVAE state_dict (model_CVAE.py) -> our pytree."""
-    sd = strip_module_prefix(state_dict)
-    return {
+def cvae_from_torch(state_dict: Dict, depth: int = 2,
+                    strict: bool = True) -> Dict:
+    """Reference CVAE state_dict (model_CVAE.py) -> our pytree.
+    ``strict`` errors if any checkpoint key goes unconsumed."""
+    sd = _Tracker(strip_module_prefix(state_dict))
+    params = {
         "prior": {
             "mu_token": _np(sd["prior_net.mu_token"]),
             "logvar_token": _np(sd["prior_net.logvar_token"]),
@@ -187,12 +238,16 @@ def cvae_from_torch(state_dict: Dict, depth: int = 2) -> Dict:
             ],
         },
     }
+    _check_consumed(sd, "CVAE", strict, ignore=_CVAE_BUFFER_KEYS)
+    return params
 
 
-def projector_from_torch(state_dict: Dict) -> Dict:
+def projector_from_torch(state_dict: Dict, strict: bool = True) -> Dict:
     """Reference Projector state_dict (model.py:198-249) -> our pytree."""
-    sd = strip_module_prefix(state_dict)
-    return {"fc1": _lin(sd, "mlp.0"), "fc2": _lin(sd, "mlp.2")}
+    sd = _Tracker(strip_module_prefix(state_dict))
+    params = {"fc1": _lin(sd, "mlp.0"), "fc2": _lin(sd, "mlp.2")}
+    _check_consumed(sd, "Projector", strict)
+    return params
 
 
 def load_reference_generator_checkpoint(path: str, use_ema: bool = True,

@@ -133,9 +133,13 @@ def decoder_layer(p, tgt, memory, *, nheads, drop=0.0, key=None, train=False):
 
 
 def sincos_positional_encoding(max_len: int, d_model: int) -> np.ndarray:
-    """Fixed sin/cos table (model_CVAE.py:168-186)."""
-    position = np.arange(max_len)[:, None]
-    div = np.exp(np.arange(0, d_model, 2) * (-np.log(10000.0) / d_model))
+    """Fixed sin/cos table (model_CVAE.py:168-186).  Computed in f32 like
+    torch (default dtype promotion) to match the reference's registered
+    ``pos_encoder.pe`` buffer (within 1 ulp of exp; exact agreement over
+    the <=180 positions the CVAE actually uses)."""
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp((np.arange(0, d_model, 2)
+                  * (-np.log(10000.0) / d_model)).astype(np.float32))
     pe = np.zeros((1, max_len, d_model), dtype=np.float32)
     pe[0, :, 0::2] = np.sin(position * div)
     pe[0, :, 1::2] = np.cos(position * div)
