@@ -19,10 +19,10 @@ import time
 import numpy as np
 import jax
 
-from ..data.dataset import MotionDataset, iterate_batches
-from ..parallel import make_mesh
+from ..data.dataset import MotionDataset, iterate_batches, prefetch_batches
+from ..parallel import make_mesh, shard_batch
 from ..train.trainer import GeneratorTrainer
-from ..utils import ensure_dirs, get_config, set_seed
+from ..utils import describe_params, ensure_dirs, get_config, set_seed
 from ..utils.logging import MetricsLogger
 from .characterize import DEFAULT_CONFIG
 
@@ -76,6 +76,13 @@ def main(argv=None):
     mesh = make_mesh(n_data=n_data)
     print(f"mesh: data={mesh.shape['data']} model={mesh.shape['model']}")
     trainer = GeneratorTrainer(config, steps_per_epoch, mesh=mesh, seed=seed)
+
+    # network repr + param counts (reference train.py:58-60 contract)
+    with open(os.path.join(info_dir, "info-network"), "w") as f:
+        state = trainer.state
+        f.write(describe_params(state.params["gen"], "Generator") + "\n\n")
+        f.write(describe_params(state.params["prj"], "Projector") + "\n")
+
     start_epoch = 0
     if args.resume:
         start_epoch = trainer.load(args.resume, resume=True)
@@ -88,10 +95,15 @@ def main(argv=None):
 
     for epoch in range(start_epoch, int(config["max_epochs"])):
         t0 = time.time()
-        src_stream = iterate_batches(dataset, batch_size, shuffle=True,
-                                     seed=seed, epoch=epoch)
-        cha_stream = iterate_batches(dataset, batch_size, shuffle=True,
-                                     seed=seed + 10_000, epoch=epoch)
+        # prefetch + sharded device placement one batch ahead of the step
+        # (role of the reference's DataLoader(num_workers=4, pin_memory))
+        place = lambda b: shard_batch(mesh, b)  # noqa: E731
+        src_stream = prefetch_batches(
+            iterate_batches(dataset, batch_size, shuffle=True,
+                            seed=seed, epoch=epoch), place=place)
+        cha_stream = prefetch_batches(
+            iterate_batches(dataset, batch_size, shuffle=True,
+                            seed=seed + 10_000, epoch=epoch), place=place)
         for it, (bs, bc) in enumerate(zip(src_stream, cha_stream)):
             key, sub = jax.random.split(key)
             metrics = trainer.train_step(bs, bc, norm, sub)

@@ -234,3 +234,45 @@ def iterate_batches(dataset: MotionDataset, batch_size: int, *,
             "contact": dataset.contact[sel],
             "label": dataset.label[sel],
         }
+
+
+def prefetch_batches(batches: Iterator[Dict], *, place=None,
+                     depth: int = 2) -> Iterator[Dict]:
+    """Prefetching wrapper over a batch iterator: a background thread
+    gathers (and optionally device-places) up to ``depth`` batches ahead,
+    so host batch assembly and H2D transfer overlap the device step.
+
+    Role parity: the reference's ``DataLoader(num_workers=4,
+    pin_memory=True)`` (/root/reference/data_loader.py:209-217).  One
+    thread suffices here — the features are precomputed arrays in RAM, so
+    "loading" is a fancy gather; parallel workers would only add IPC.
+
+    ``place``: optional callable applied in the worker thread, e.g.
+    ``lambda b: shard_batch(mesh, b)`` to issue the sharded device_put
+    ahead of time.  Exceptions in the worker propagate to the consumer.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(int(depth), 1))
+    end = object()
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(place(b) if place is not None else b)
+        except BaseException as e:  # re-raised on the consumer side
+            q.put(e)
+            return
+        q.put(end)
+
+    t = threading.Thread(target=worker, daemon=True,
+                         name="mocha-batch-prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

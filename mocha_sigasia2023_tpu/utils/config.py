@@ -83,3 +83,25 @@ def enable_compilation_cache(path: str = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def describe_params(tree, title: str = "Generator") -> str:
+    """Human-readable network description: every parameter leaf with its
+    path, shape, and size, plus the total count.
+
+    Artifact parity: the reference dumps ``print(trainer.gen)`` (the torch
+    module repr) to ``info/info-network`` at train start
+    (/root/reference/train.py:58-60); this is the pytree equivalent.
+    """
+    import jax
+
+    lines = [title]
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        shape = tuple(getattr(leaf, "shape", ()))
+        n = int(np.prod(shape)) if shape else 1
+        total += n
+        lines.append(f"  {jax.tree_util.keystr(path)}: "
+                     f"{shape} [{n:,}]")
+    lines.append(f"total parameters: {total:,}")
+    return "\n".join(lines)

@@ -81,6 +81,10 @@ class TestCLIChain:
         cli_train.main(["--config", workdir["config"]])
         assert (d / "model_tiny" / "pth" / "gen_001.msgpack").exists()
         assert (d / "datasets" / "mocha60" / "norm.npz").exists()
+        # artifact contract: network repr + param counts dumped at train
+        # start (reference train.py:58-60)
+        info = (d / "model_tiny" / "info" / "info-network").read_text()
+        assert "Generator" in info and "total parameters:" in info
 
     def test_3_collect_features(self, workdir, monkeypatch):
         d = workdir["dir"]

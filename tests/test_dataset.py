@@ -110,6 +110,36 @@ class TestMotionDataset:
         b0b = next(iter(iterate_batches(ds, 8, shuffle=True, seed=1, epoch=0)))
         np.testing.assert_array_equal(b0["X"], b0b["X"])
 
+    def test_prefetch_matches_sync(self, data_dir):
+        """prefetch_batches (the DataLoader(num_workers) equivalent) must
+        yield exactly the synchronous iterator's batches, in order, and
+        propagate worker exceptions."""
+        from mocha_sigasia2023_tpu.data.dataset import prefetch_batches
+
+        ds = MotionDataset(data_dir, "train")
+        sync = list(iterate_batches(ds, 8, shuffle=True, seed=3))
+        pre_ = list(prefetch_batches(
+            iterate_batches(ds, 8, shuffle=True, seed=3), depth=2))
+        assert len(sync) == len(pre_)
+        for a, b in zip(sync, pre_):
+            for k in a:
+                np.testing.assert_array_equal(a[k], np.asarray(b[k]))
+
+        # device placement hook runs in the worker thread
+        placed = list(prefetch_batches(
+            iterate_batches(ds, 8, shuffle=True, seed=3),
+            place=lambda b: {k: jax.numpy.asarray(v) for k, v in b.items()}))
+        assert all(hasattr(b["X"], "devices") for b in placed)
+
+        def boom():
+            yield {"X": np.zeros(1)}
+            raise RuntimeError("worker failed")
+
+        it = prefetch_batches(boom())
+        next(it)
+        with pytest.raises(RuntimeError, match="worker failed"):
+            list(it)
+
     def test_getitem_contract(self, data_dir):
         ds = MotionDataset(data_dir, "train")
         item = ds[0]
