@@ -48,6 +48,24 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
 
 
+def shard_streams(mesh: Mesh, frame0, xs, keys):
+    """Place batched-characterization inputs (runtime.stream
+    stack_stream_inputs layout) with the STREAM axis split across ``data``
+    — the serving-side scale-out: S parallel characterization streams run
+    data-parallel over the mesh, each device scanning its shard's frames
+    with no cross-device communication (streams are independent).
+
+    frame0 leaves are (S, ...) -> shard dim 0; xs leaves are (T-1, S, ...)
+    -> shard dim 1; keys (S, 2) -> shard dim 0.
+    """
+    f0_sh = NamedSharding(mesh, P("data"))
+    xs_sh = NamedSharding(mesh, P(None, "data"))
+    frame0 = jax.tree.map(lambda a: jax.device_put(a, f0_sh), frame0)
+    xs = jax.tree.map(lambda a: jax.device_put(a, xs_sh), xs)
+    keys = jax.device_put(keys, f0_sh)
+    return frame0, xs, keys
+
+
 def data_parallel_jit(fn, mesh: Mesh, *, donate_argnums=()):
     """jit ``fn(state, batch, ...)`` under the mesh: state replicated,
     batch sharded on ``data``; XLA emits psum-over-ICI for the gradients.
