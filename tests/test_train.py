@@ -199,9 +199,15 @@ class TestGeneratorTrainer:
         flat_s = jax.tree.leaves(jax.tree.map(np.asarray, g_split))
         flat_m = jax.tree.leaves(jax.tree.map(np.asarray, g_mono))
         assert len(flat_s) == len(flat_m)
+        # Absolute floor 1e-5*gscale: XLA fuses/reassociates the split and
+        # monolithic programs differently, so near-zero elements carry up to
+        # a few e-5 of the max-gradient scale in pure fp noise (observed
+        # 7/12288 elements at 1.8e-6*gscale).  A real cotangent-routing bug
+        # mis-weights whole terms, i.e. errors at ~gscale — 4 orders above
+        # this floor.
         gscale = max(float(np.abs(g).max()) for g in flat_m)
         for a, b in zip(flat_s, flat_m):
-            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6 * gscale)
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * gscale)
 
     def test_checkpoint_roundtrip(self, tiny_dataset, tmp_path):
         trainer = GeneratorTrainer(SMALL_CONFIG, steps_per_epoch=2)
