@@ -55,6 +55,8 @@ def main():
                     help="enable the Pallas fused-attention dispatch in the "
                          "stream step for this run")
     args = ap.parse_args()
+    from mocha_sigasia2023_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     if args.attn:
         return bench_attn(args)
     if args.fused_attention:
