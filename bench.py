@@ -33,6 +33,9 @@ def main():
                     help="bf16 decoder/CVAE matmuls, f32 pose math")
     ap.add_argument("--unroll", type=int, default=1,
                     help="lax.scan unroll factor for the frame loop")
+    ap.add_argument("--fuse-decodes", action="store_true",
+                    help="decode the CVAE + NN streams in one K=2 batched "
+                         "decoder call instead of two separate calls")
     ap.add_argument("--latency", action="store_true",
                     help="report per-frame latency of a single live stream "
                          "(device step time; scan time / frames)")
@@ -132,7 +135,8 @@ def main():
 
     run = make_batch_runner(params, cfg, cvae_params, cvae_cfg, consts,
                             parents, compute_cm=not args.single_stream,
-                            compute_dtype=compute_dtype, unroll=args.unroll)
+                            compute_dtype=compute_dtype, unroll=args.unroll,
+                            fuse_decodes=args.fuse_decodes)
     frame0, xs = stack_stream_inputs(feats)
     keys = jax.random.split(jax.random.PRNGKey(7), S)
 

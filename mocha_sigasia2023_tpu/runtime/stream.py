@@ -217,7 +217,8 @@ def make_stream_step(cfg: gen.GeneratorConfig,
                      contact_bones=(5, 24), ik: IKConfig = IKConfig(),
                      dt: float = 1.0 / 60.0, deterministic: bool = False,
                      use_cvae: bool = True, compute_cm: bool = True,
-                     compute_dtype=None, root_dtype=None):
+                     compute_dtype=None, root_dtype=None,
+                     fuse_decodes: bool = False):
     """Build the pure per-frame step function.
 
     step(ctx, carry, frame_inputs) -> (carry, outputs) where ctx =
@@ -228,6 +229,25 @@ def make_stream_step(cfg: gen.GeneratorConfig,
     parents_key = tuple(int(p) for p in parents)
     cbones = tuple(int(b) for b in contact_bones)
     root_dtype = _resolve_root_dtype(root_dtype)
+
+    def _decode_two(params, consts, src_enc, cvae_cha, nn_cha):
+        """Decode the CVAE and NN streams; ``fuse_decodes`` stacks them
+        into one K=2 decoder call (one matmul batch), else two calls.
+
+        Measured on v5e (bench.py --fuse-decodes, 64 streams): the fused
+        form is 26% SLOWER (15.7k vs 21.2k frames/s) — under the stream
+        vmap the extra K dim gives XLA a (S, 2, ...) layout it tiles worse
+        than two clean (S, ...) calls.  Default stays separate."""
+        if fuse_decodes:
+            outs = _decode_frames(params, cfg, consts, src_enc,
+                                  jnp.stack([cvae_cha, nn_cha]),
+                                  compute_dtype)
+            return tuple(a[0] for a in outs), tuple(a[1] for a in outs)
+        t = _decode_frame(params, cfg, consts, src_enc, cvae_cha,
+                          compute_dtype)
+        c = _decode_frame(params, cfg, consts, src_enc, nn_cha,
+                          compute_dtype)
+        return t, c
 
     def step(ctx, carry: StreamCarry, x: Dict):
         params, cvae_params, consts = ctx
@@ -266,16 +286,16 @@ def make_stream_step(cfg: gen.GeneratorConfig,
             cvae_cha_encoded = nn_cha_encoded
         prev_cha_encoded = cvae_cha_encoded
 
-        # --- decode both streams (separate calls: XLA lays these out
-        # better than a stacked batch-2 decode under the stream vmap) ------
-        t_pos, t_rot, t_vel, t_ang, t_speed = _decode_frame(
-            params, cfg, consts, x["encoded"], cvae_cha_encoded,
-            compute_dtype)
+        # --- decode both streams ------------------------------------------
         if compute_cm and use_cvae:
-            c_pos, c_rot, c_vel, c_ang, c_speed = _decode_frame(
-                params, cfg, consts, x["encoded"], nn_cha_encoded,
-                compute_dtype)
+            (t_pos, t_rot, t_vel, t_ang, t_speed), \
+                (c_pos, c_rot, c_vel, c_ang, c_speed) = _decode_two(
+                    params, consts, x["encoded"], cvae_cha_encoded,
+                    nn_cha_encoded)
         else:
+            t_pos, t_rot, t_vel, t_ang, t_speed = _decode_frame(
+                params, cfg, consts, x["encoded"], cvae_cha_encoded,
+                compute_dtype)
             c_pos, c_rot, c_vel, c_ang, c_speed = (
                 t_pos, t_rot, t_vel, t_ang, t_speed)
 
@@ -431,7 +451,7 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
                       *, contact_bones=(5, 24), ik: IKConfig = IKConfig(),
                       dt: float = 1.0 / 60.0, deterministic: bool = False,
                       compute_cm: bool = True, compute_dtype=None,
-                      root_dtype=jnp.float64,
+                      root_dtype=jnp.float64, fuse_decodes: bool = False,
                       key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
     """Offline characterization of a whole clip: frame-0 init + `lax.scan`
     over the remaining frames, all inside one jit.
@@ -445,7 +465,8 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
                             deterministic, use_cvae=use_cvae,
                             compute_cm=compute_cm,
                             compute_dtype=compute_dtype,
-                            root_dtype=root_dtype)
+                            root_dtype=root_dtype,
+                            fuse_decodes=fuse_decodes)
 
     xs_all = _as_f32_feats(stream_feats)
     frame0 = {k: v[0] for k, v in xs_all.items()}
@@ -471,7 +492,8 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                       contact_bones=(5, 24), ik: IKConfig = IKConfig(),
                       dt: float = 1.0 / 60.0, deterministic: bool = False,
                       compute_cm: bool = True, compute_dtype=None,
-                      root_dtype=None, unroll: int = 1):
+                      root_dtype=None, unroll: int = 1,
+                      fuse_decodes: bool = False):
     """Batched-streams characterizer: vmap the per-frame step over S
     parallel streams and scan over time — the ">=10k frames/sec/chip" play
     (SURVEY.md §5: scale by batching streams, not sharding a window).
@@ -484,7 +506,8 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                             deterministic, use_cvae=use_cvae,
                             compute_cm=compute_cm,
                             compute_dtype=compute_dtype,
-                            root_dtype=root_dtype)
+                            root_dtype=root_dtype,
+                            fuse_decodes=fuse_decodes)
 
     @jax.jit
     def run(params, cvae_params, consts, frame0, xs, keys):

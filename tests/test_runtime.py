@@ -420,6 +420,25 @@ class TestDeterminism:
         assert not np.array_equal(out1["trans_pos"], out3["trans_pos"])
 
 
+class TestFusedDecodes:
+    def test_fused_decode_matches_separate(self, setup):
+        """fuse_decodes=True (one K=2 batched decoder call per frame) must
+        reproduce the separate-calls path; only matmul batching changes, so
+        outputs agree to fp tolerance."""
+        s = setup
+        a = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            key=jax.random.PRNGKey(5))
+        b = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            fuse_decodes=True, key=jax.random.PRNGKey(5))
+        for k in ("trans_pos", "ik_pos", "cm_pos", "nn_index"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-4, rtol=1e-4,
+                                       err_msg=k)
+
+
 class TestLiveSession:
     def test_live_matches_offline_scan(self, setup):
         """Frame-at-a-time sessions must reproduce the offline scan."""
