@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--fuse-decodes", action="store_true",
                     help="decode the CVAE + NN streams in one K=2 batched "
                          "decoder call instead of two separate calls")
+    ap.add_argument("--lean-decode", action="store_true",
+                    help="use the lean last-frame+hip-velocity stream "
+                         "decode (measured 44% slower on v5e: tiny conv "
+                         "shapes tile worse than the dense head)")
+    ap.add_argument("--no-ik", action="store_true",
+                    help="disable the foot-contact locking + two-bone IK "
+                         "fixup (ablation for the step cost model)")
     ap.add_argument("--latency", action="store_true",
                     help="report per-frame latency of a single live stream "
                          "(device step time; scan time / frames)")
@@ -133,10 +140,13 @@ def main():
         return bench_live(args, params, cfg, cvae_params, cvae_cfg, consts,
                           parents, feats)
 
+    from mocha_sigasia2023_tpu.runtime.stream import IKConfig
     run = make_batch_runner(params, cfg, cvae_params, cvae_cfg, consts,
                             parents, compute_cm=not args.single_stream,
+                            ik=IKConfig(enabled=not args.no_ik),
                             compute_dtype=compute_dtype, unroll=args.unroll,
-                            fuse_decodes=args.fuse_decodes)
+                            fuse_decodes=args.fuse_decodes,
+                            lean_decode=args.lean_decode)
     frame0, xs = stack_stream_inputs(feats)
     keys = jax.random.split(jax.random.PRNGKey(7), S)
 

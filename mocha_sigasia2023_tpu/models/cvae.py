@@ -86,14 +86,22 @@ def init_encoder_layer(key, dim, ff_dim, dtype=jnp.float32):
     }
 
 
-def encoder_layer(p, x, *, nheads, drop=0.0, key=None, train=False):
-    """Post-norm torch TransformerEncoderLayer with relu activation."""
+def encoder_layer(p, x, *, nheads, drop=0.0, key=None, train=False,
+                  out_tokens=None):
+    """Post-norm torch TransformerEncoderLayer with relu activation.
+
+    ``out_tokens=n`` computes outputs for the first n tokens only (queries
+    restricted to x[:, :n], keys/values over the full sequence) — exactly
+    the same values as slicing the full layer's output, since post-norm
+    layers are per-token functions of the attention read."""
     if key is not None:
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
     else:
         k1 = k2 = k3 = k4 = None
-    sa = mha(p["self_attn"], x, x, nheads=nheads, drop=drop, key=k1, train=train)
-    x = layer_norm(p["norm1"], x + dropout(sa, drop, k2, train))
+    q_in = x if out_tokens is None else x[:, :out_tokens]
+    sa = mha(p["self_attn"], q_in, x, nheads=nheads, drop=drop, key=k1,
+             train=train)
+    x = layer_norm(p["norm1"], q_in + dropout(sa, drop, k2, train))
     h = jax.nn.relu(linear(p["linear1"], x))
     h = dropout(h, drop, k3, train)
     h = linear(p["linear2"], h)
@@ -183,13 +191,19 @@ def _encode_tokens(p, tokens, cfg: CVAEConfig, *, key=None, train=False):
     if train and key is not None:
         key, sub = jax.random.split(key)
         x = dropout(x, cfg.dropout, sub, train)
-    for layer in p["layers"]:
+    n_layers = len(p["layers"])
+    for i, layer in enumerate(p["layers"]):
         if key is not None:
             key, sub = jax.random.split(key)
         else:
             sub = None
+        # only the mu/logvar tokens are read downstream, so the FINAL
+        # layer needs just 2 query rows (keys/values stay full) — exact
+        # (see encoder_layer out_tokens).  Inference-only: in training the
+        # truncated dropout-mask shapes would change the RNG draw.
+        out_tokens = 2 if (i == n_layers - 1 and not train) else None
         x = encoder_layer(layer, x, nheads=cfg.nheads, drop=cfg.dropout,
-                          key=sub, train=train)
+                          key=sub, train=train, out_tokens=out_tokens)
     return x[:, 0], x[:, 1]  # mu, logvar tokens
 
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from . import graph
 from .layers import (
     conv1x1, init_conv2d, init_stgcn_block, init_transformer,
-    leaky_relu, mean_variance_norm, stgcn_block, transformer,
+    leaky_relu, mean_variance_norm, stgcn_block, temporal_conv, transformer,
 )
 
 
@@ -195,6 +195,92 @@ def decode(params: Dict, cfg: GeneratorConfig, src_encoded: jnp.ndarray,
     h = leaky_relu(h, 0.2)
     h = conv1x1(params["head"]["conv_out"], h)
     return h.transpose(0, 2, 3, 1)  # b c t v -> b t v c
+
+
+def _joint0_support(cfg: GeneratorConfig):
+    """Static column support of joint 0 in the joint adjacency stack: the
+    graph-conv output at joint 0 only reads these input joints."""
+    A = graph.joint_adjacency(cfg.layout, cfg.joint_strategy,
+                              cfg.joint_max_hop)
+    return np.nonzero(np.any(A[:, :, 0] != 0, axis=0))[0]
+
+
+def decode_stream(params: Dict, cfg: GeneratorConfig,
+                  src_encoded: jnp.ndarray, cha_encoded: jnp.ndarray):
+    """Lean decoder for the streaming runtime: exactly the outputs the
+    per-frame step consumes, nothing else.
+
+    The full decoder (``decode``) produces (B, 60, 24, 15), but the frame
+    step (test_fullframework.py:455-462, 492-495) reads only
+      * the LAST frame's pose rows (all joints, all 15 channels), and
+      * joint 0's velocity channels over the WHOLE window (the hip-speed
+        ratio guard).
+    Both tails of the head are sliced statically with identical math:
+    the joint-level temporal conv's reflect window at frame T-1 touches
+    input frames {T-1-pad..T-1} only, and joint 0's graph conv reads only
+    its static adjacency support (7 of 24 joints for the mocha layout).
+    Cuts the joint-head ST-GCN from 60x24 positions to 3x24 + 60x7.
+
+    MEASURED RESULT (v5e, 64 streams, bench.py --lean-decode): 44% SLOWER
+    than the full decode (12.5k vs 22.3k frames/s) — the small irregular
+    conv shapes pad to MXU tiles far worse than the dense 60x24 head, so
+    the 20% FLOP cut loses to utilization.  Kept as a verified-exact
+    reference (tests/test_runtime.py TestLeanDecode) and for CPU serving,
+    where FLOPs do bind; the runtime default is the full decode.
+
+    Returns (last_Ytil (B, njoints, 15), vel0_til (B, T, 3)) — both still
+    normalized (caller denorms with Y_std/Y_mean rows).
+    """
+    A_j, A_b, _, unpool = _constants(cfg)
+    tps = cfg.temporal_patch_size
+
+    tok = transformer(
+        params["decoder"], src_encoded, cha_encoded, heads=cfg.decoder_heads,
+        adain_on=True, drop=cfg.dropout, key=None, train=False)
+    b, s, c = tok.shape
+    h = tok.reshape(b, cfg.num_temp, cfg.nbody, c).transpose(0, 3, 1, 2)
+    h = stgcn_block(params["head"]["body"], h, A_b)
+    h = jnp.repeat(h, tps, axis=2)
+    u = jnp.einsum("nctv,vw->nctw", h, unpool.astype(h.dtype))
+    T = u.shape[2]
+
+    p_j = params["head"]["joint"]
+    co = params["head"]["conv_out"]
+    w_t = p_j["tcn"]["weight"]          # (O, I, k, 1)
+    k_t = w_t.shape[2]
+    pad = (k_t - 1) // 2
+    K = A_j.shape[0]
+
+    def gcn(x):
+        y = conv1x1(p_j["gcn"], x)
+        n, kc, tt, v = y.shape
+        return y.reshape(n, K, kc // K, tt, v)
+
+    # ---- last-frame pose: tcn window at T-1 = reflect{T-1-pad..T-1} ----
+    lf = leaky_relu(u[:, :, T - 1 - pad:, :], 0.2)
+    g = jnp.einsum("nkctv,kvw->nctw", gcn(lf), A_j.astype(lf.dtype))
+    # reflect-padded correlation at output T-1: tap j reads slice-relative
+    # frame pad - |pad - j|  (e.g. k=5 -> [0, 1, 2, 1, 0])
+    pose = sum(
+        jnp.einsum("niv,oi->nov", g[:, :, pad - abs(pad - j), :],
+                   w_t[:, :, j, 0].astype(g.dtype))
+        for j in range(k_t))
+    pose = pose + p_j["tcn"]["bias"][None, :, None]
+    pose = leaky_relu(pose, 0.2)
+    pose = (jnp.einsum("niv,oi->nov", pose, co["weight"][:, :, 0, 0])
+            + co["bias"][None, :, None])
+    last = pose.transpose(0, 2, 1)                      # (B, V, 15)
+
+    # ---- hip-velocity track: joint 0 over all frames ----
+    jsub = _joint0_support(cfg)
+    su = leaky_relu(u[:, :, :, jsub], 0.2)
+    g0 = jnp.einsum("nkctv,kv->nct", gcn(su),
+                    A_j[:, jsub, 0].astype(su.dtype))   # (B, C, T)
+    v0 = temporal_conv(p_j["tcn"], g0[..., None])[..., 0]
+    v0 = leaky_relu(v0, 0.2)
+    vel0 = (jnp.einsum("nct,oc->not", v0, co["weight"][9:12, :, 0, 0])
+            + co["bias"][9:12][None, :, None])
+    return last, vel0.transpose(0, 2, 1)                # (B, T, 3)
 
 
 def forward(params: Dict, cfg: GeneratorConfig, src_X: jnp.ndarray,

@@ -94,17 +94,38 @@ def _resolve_root_dtype(root_dtype):
 
 
 def _decode_frames(params, cfg, consts: RuntimeConsts, src_enc, cha_encs,
-                   compute_dtype=None):
+                   compute_dtype=None, lean=False):
     """Decode one source window against K character encodings in ONE
     batched decoder call and split each last frame into pose channels
     (test_fullframework.py:301-318).  Returns per-K tuples (pos, rot,
     vel_last, ang, root_joint_speed_mean).  ``compute_dtype=bfloat16`` runs
-    the decoder matmuls in bf16 (pass bf16-cast params), f32 pose math."""
+    the decoder matmuls in bf16 (pass bf16-cast params), f32 pose math.
+
+    ``lean=True`` uses gen.decode_stream — the exact-math decoder tail
+    restricted to the last-frame pose + joint-0 velocity track the step
+    consumes.  Measured on v5e at 64 streams: 44% SLOWER (12.5k vs 22.3k
+    frames/s) — the sliced (3x24) and (60x7) conv shapes pad to MXU tiles
+    far worse than the dense 60x24 head, so the 20% FLOP cut loses to
+    utilization.  Default stays False (full decode).
+    """
     K = cha_encs.shape[0]
     src_pair = jnp.broadcast_to(src_enc[None], (K,) + src_enc.shape)
     if compute_dtype is not None:
         src_pair = src_pair.astype(compute_dtype)
         cha_encs = cha_encs.astype(compute_dtype)
+    if lean:
+        last, vel0 = gen.decode_stream(params, cfg, src_pair, cha_encs)
+        last = (last.astype(jnp.float32) * consts.Y_std[1:]
+                + consts.Y_mean[1:])
+        vel0 = (vel0.astype(jnp.float32) * consts.Y_std[1, 9:12]
+                + consts.Y_mean[1, 9:12])
+        pos = last[:, :, :3]
+        txy = last[:, :, 3:9].reshape(K, -1, 3, 2)
+        vel_last = last[:, :, 9:12]
+        ang = last[:, :, 12:15]
+        rot = quat.from_xform_xy(txy)
+        hips_speed = jnp.mean(jnp.linalg.norm(vel0, axis=-1), axis=-1)
+        return pos, rot, vel_last, ang, hips_speed
     Ytil = gen.decode(params, cfg, src_pair, cha_encs)
     Ytil = Ytil.astype(jnp.float32)
     Ytil = Ytil * consts.Y_std[1:] + consts.Y_mean[1:]
@@ -118,9 +139,9 @@ def _decode_frames(params, cfg, consts: RuntimeConsts, src_enc, cha_encs,
 
 
 def _decode_frame(params, cfg, consts: RuntimeConsts, src_enc, cha_enc,
-                  compute_dtype=None):
+                  compute_dtype=None, lean=False):
     out = _decode_frames(params, cfg, consts, src_enc, cha_enc[None],
-                         compute_dtype)
+                         compute_dtype, lean=lean)
     return tuple(a[0] for a in out)
 
 
@@ -218,7 +239,7 @@ def make_stream_step(cfg: gen.GeneratorConfig,
                      dt: float = 1.0 / 60.0, deterministic: bool = False,
                      use_cvae: bool = True, compute_cm: bool = True,
                      compute_dtype=None, root_dtype=None,
-                     fuse_decodes: bool = False):
+                     fuse_decodes: bool = False, lean_decode: bool = False):
     """Build the pure per-frame step function.
 
     step(ctx, carry, frame_inputs) -> (carry, outputs) where ctx =
@@ -241,12 +262,12 @@ def make_stream_step(cfg: gen.GeneratorConfig,
         if fuse_decodes:
             outs = _decode_frames(params, cfg, consts, src_enc,
                                   jnp.stack([cvae_cha, nn_cha]),
-                                  compute_dtype)
+                                  compute_dtype, lean=lean_decode)
             return tuple(a[0] for a in outs), tuple(a[1] for a in outs)
         t = _decode_frame(params, cfg, consts, src_enc, cvae_cha,
-                          compute_dtype)
+                          compute_dtype, lean=lean_decode)
         c = _decode_frame(params, cfg, consts, src_enc, nn_cha,
-                          compute_dtype)
+                          compute_dtype, lean=lean_decode)
         return t, c
 
     def step(ctx, carry: StreamCarry, x: Dict):
@@ -295,7 +316,7 @@ def make_stream_step(cfg: gen.GeneratorConfig,
         else:
             t_pos, t_rot, t_vel, t_ang, t_speed = _decode_frame(
                 params, cfg, consts, x["encoded"], cvae_cha_encoded,
-                compute_dtype)
+                compute_dtype, lean=lean_decode)
             c_pos, c_rot, c_vel, c_ang, c_speed = (
                 t_pos, t_rot, t_vel, t_ang, t_speed)
 
@@ -370,7 +391,8 @@ def make_stream_step(cfg: gen.GeneratorConfig,
 
 def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
                 contact_bones=(5, 24), dt: float = 1.0 / 60.0,
-                key: Optional[jax.Array] = None, root_dtype=None):
+                key: Optional[jax.Array] = None, root_dtype=None,
+                lean_decode: bool = False):
     """Frame-0 bootstrap (test_fullframework.py:288-435): NN match, decode,
     identity-root integration, contact-state reset at the decoded toe pose.
     Returns (carry, frame0 outputs)."""
@@ -383,7 +405,7 @@ def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
     cha_enc = consts.cha_encoded[idx]
 
     t_pos, t_rot, t_vel, t_ang, t_speed = _decode_frame(
-        params, cfg, consts, frame0["encoded"], cha_enc)
+        params, cfg, consts, frame0["encoded"], cha_enc, lean=lean_decode)
 
     identity = jnp.asarray([1.0, 0.0, 0.0, 0.0], root_dtype)
     zero3 = jnp.zeros(3, root_dtype)
@@ -452,6 +474,7 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
                       dt: float = 1.0 / 60.0, deterministic: bool = False,
                       compute_cm: bool = True, compute_dtype=None,
                       root_dtype=jnp.float64, fuse_decodes: bool = False,
+                      lean_decode: bool = False,
                       key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
     """Offline characterization of a whole clip: frame-0 init + `lax.scan`
     over the remaining frames, all inside one jit.
@@ -466,7 +489,8 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
                             compute_cm=compute_cm,
                             compute_dtype=compute_dtype,
                             root_dtype=root_dtype,
-                            fuse_decodes=fuse_decodes)
+                            fuse_decodes=fuse_decodes,
+                            lean_decode=lean_decode)
 
     xs_all = _as_f32_feats(stream_feats)
     frame0 = {k: v[0] for k, v in xs_all.items()}
@@ -477,7 +501,8 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
         ctx = (params, cvae_params, consts)
         carry, out0 = init_stream(params, cfg, consts, parents, frame0,
                                   contact_bones, dt, key,
-                                  root_dtype=root_dtype)
+                                  root_dtype=root_dtype,
+                                  lean_decode=lean_decode)
         _, outs = lax.scan(lambda c, x: step(ctx, c, x), carry, xs)
         return jax.tree.map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, outs)
@@ -493,7 +518,7 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                       dt: float = 1.0 / 60.0, deterministic: bool = False,
                       compute_cm: bool = True, compute_dtype=None,
                       root_dtype=None, unroll: int = 1,
-                      fuse_decodes: bool = False):
+                      fuse_decodes: bool = False, lean_decode: bool = False):
     """Batched-streams characterizer: vmap the per-frame step over S
     parallel streams and scan over time — the ">=10k frames/sec/chip" play
     (SURVEY.md §5: scale by batching streams, not sharding a window).
@@ -507,7 +532,8 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                             compute_cm=compute_cm,
                             compute_dtype=compute_dtype,
                             root_dtype=root_dtype,
-                            fuse_decodes=fuse_decodes)
+                            fuse_decodes=fuse_decodes,
+                            lean_decode=lean_decode)
 
     @jax.jit
     def run(params, cvae_params, consts, frame0, xs, keys):
@@ -516,7 +542,8 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
         def init_one(f0, key):
             return init_stream(params, cfg, consts, parents, f0,
                                contact_bones, dt, key,
-                               root_dtype=root_dtype)
+                               root_dtype=root_dtype,
+                               lean_decode=lean_decode)
 
         carry, out0 = jax.vmap(init_one)(frame0, keys)
         step_v = jax.vmap(lambda c, x: step(ctx, c, x))

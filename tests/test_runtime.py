@@ -439,6 +439,26 @@ class TestFusedDecodes:
                                        err_msg=k)
 
 
+class TestLeanDecode:
+    def test_lean_decode_matches_full(self, setup):
+        """lean_decode=True (gen.decode_stream: last-frame pose + joint-0
+        velocity track only) must reproduce the full-decoder path — the
+        sliced temporal-conv windows and joint-0 graph support are
+        exact-math restrictions."""
+        s = setup
+        a = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            lean_decode=False, key=jax.random.PRNGKey(5))
+        b = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            lean_decode=True, key=jax.random.PRNGKey(5))
+        for k in ("trans_pos", "ik_pos", "cm_pos", "nn_index"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-4, rtol=1e-4,
+                                       err_msg=k)
+
+
 class TestLiveSession:
     def test_live_matches_offline_scan(self, setup):
         """Frame-at-a-time sessions must reproduce the offline scan."""
