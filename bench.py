@@ -50,6 +50,10 @@ def main():
                     help="time LiveCharacterizer.push_frame per frame "
                          "(real serving latency incl. host dispatch); "
                          "reports p50/p99 over >=1k frames")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="with --live: one-frame-pipelined serving "
+                         "(push_frame_pipelined: output lags one frame, "
+                         "each call pays a single host<->device trip)")
     ap.add_argument("--train", action="store_true",
                     help="generator training steps/sec at reference scale "
                          "(batch 64, full model)")
@@ -228,17 +232,21 @@ def bench_live(args, params, cfg, cvae_params, cvae_cfg, consts, parents,
         floors.append(time.perf_counter() - t0)
     relay_floor_ms = float(np.median(floors) * 1e3)
 
+    push = (lc.push_frame_pipelined if args.pipelined else lc.push_frame)
     times = []
     lc.push_frame(frames[0])  # frame-0 init outside the measured window
     for i in range(1, T):
         t0 = time.perf_counter()
-        lc.push_frame(frames[i])
+        push(frames[i])
         times.append(time.perf_counter() - t0)
+    if args.pipelined:
+        lc.flush()
     arr = np.asarray(times) * 1e3
     p50 = float(np.percentile(arr, 50))
     p99 = float(np.percentile(arr, 99))
     result = {
-        "metric": "live_push_frame_latency_p50",
+        "metric": ("live_push_frame_pipelined_latency_p50" if args.pipelined
+                   else "live_push_frame_latency_p50"),
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round((1000.0 / 60.0) / p50, 2),

@@ -489,3 +489,27 @@ class TestLiveSession:
                                 for k in LiveCharacterizer.FEAT_KEYS})
         np.testing.assert_allclose(out0["ik_pos"], offline["ik_pos"][0],
                                    atol=1e-5, rtol=1e-4)
+
+    def test_pipelined_session_lags_one_frame(self, setup):
+        """push_frame_pipelined returns frame i-1's pose on call i (None
+        first), flush() drains the tail; values identical to push_frame."""
+        from mocha_sigasia2023_tpu.runtime.live import LiveCharacterizer
+
+        s = setup
+        live = LiveCharacterizer(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], deterministic=True,
+            key=jax.random.PRNGKey(9))
+        frames = [{k: np.asarray(s["src_feats"][k])[i]
+                   for k in LiveCharacterizer.FEAT_KEYS} for i in range(6)]
+        direct = [live.push_frame(f) for f in frames]
+        live.reset()
+        piped = [live.push_frame_pipelined(f) for f in frames]
+        assert piped[0] is None
+        piped = piped[1:] + [live.flush()]
+        for i, (a, b) in enumerate(zip(direct, piped)):
+            np.testing.assert_allclose(a["ik_pos"], b["ik_pos"],
+                                       atol=1e-6, err_msg=f"frame {i}")
+            np.testing.assert_allclose(a["trans_pos"], b["trans_pos"],
+                                       atol=1e-6)
+        assert live.flush() is None
