@@ -52,11 +52,17 @@ def init_mha(key, dim, dtype=jnp.float32):
 
 def mha(p, query, kv, *, nheads, drop=0.0, key=None, train=False):
     d = query.shape[-1]
-    wq, wk, wv = jnp.split(p["in_proj_weight"], 3, axis=0)
-    bq, bk, bv = jnp.split(p["in_proj_bias"], 3, axis=0)
-    q = query @ wq.T + bq
-    k = kv @ wk.T + bk
-    v = kv @ wv.T + bv
+    # apply the packed in_proj as ONE matmul when q==kv (self-attention),
+    # or a packed kv matmul for cross-attention — identical per-element
+    # dot products, but larger MXU tiles than three separate projections
+    if query is kv:
+        qkv = query @ p["in_proj_weight"].T + p["in_proj_bias"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        wq, bq = p["in_proj_weight"][:d], p["in_proj_bias"][:d]
+        q = query @ wq.T + bq
+        kv_p = kv @ p["in_proj_weight"][d:].T + p["in_proj_bias"][d:]
+        k, v = jnp.split(kv_p, 2, axis=-1)
 
     b, n, _ = q.shape
     m = k.shape[1]
