@@ -15,6 +15,7 @@ over ICI (replacing nn.DataParallel).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple
 
 import numpy as np
@@ -211,7 +212,7 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
         (g,) = pull(cotangent)
         return g
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def apply_update(state, g_rs, g_rc, g_nce_p, g_cs_p, g_cc_p, g_trans,
                      losses, logits):
         l_rs, l_rc, l_nce, l_cs, l_cc = losses
