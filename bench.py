@@ -69,6 +69,12 @@ def main():
                     help="enable the Pallas fused-attention dispatch in the "
                          "stream step for this run")
     args = ap.parse_args()
+    if args.pipelined and not args.live:
+        ap.error("--pipelined requires --live")
+    if args.live and (args.lean_decode or args.fuse_decodes or args.no_ik
+                      or args.unroll != 1):
+        ap.error("--live ignores --lean-decode/--fuse-decodes/--no-ik/"
+                 "--unroll; drop them so the label matches the measurement")
     from mocha_sigasia2023_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     if args.attn:

@@ -170,27 +170,35 @@ def content_feature(encoded: jnp.ndarray) -> jnp.ndarray:
     return mean_variance_norm(encoded)
 
 
-def decode(params: Dict, cfg: GeneratorConfig, src_encoded: jnp.ndarray,
-           cha_encoded: jnp.ndarray, *, key=None, train=False) -> jnp.ndarray:
-    """Decoder transformer + inverse embedding -> motion (model.py:100-106,
-    71-80)."""
+def _decode_trunk(params: Dict, cfg: GeneratorConfig, src_encoded,
+                  cha_encoded, *, key=None, train=False):
+    """Shared decoder trunk: transformer -> body ST-GCN -> nearest-neighbor
+    temporal upsample -> unpool to joints.  Returns (B, C, T, njoints) —
+    the input to the joint-level head, used by both decode (full head) and
+    decode_stream (sliced head)."""
     A_j, A_b, _, unpool = _constants(cfg)
-    tps = cfg.temporal_patch_size
-
-    if key is not None:
-        key, kd = jax.random.split(key)
-    else:
-        kd = None
     tok = transformer(
         params["decoder"], src_encoded, cha_encoded, heads=cfg.decoder_heads,
-        adain_on=True, drop=cfg.dropout, key=kd, train=train)
-
+        adain_on=True, drop=cfg.dropout, key=key, train=train)
     # b (t v) c -> b c t v
     b, s, c = tok.shape
     h = tok.reshape(b, cfg.num_temp, cfg.nbody, c).transpose(0, 3, 1, 2)
     h = stgcn_block(params["head"]["body"], h, A_b)
-    h = jnp.repeat(h, tps, axis=2)  # nearest-neighbor temporal upsample
-    h = jnp.einsum("nctv,vw->nctw", h, unpool.astype(h.dtype))
+    h = jnp.repeat(h, cfg.temporal_patch_size, axis=2)
+    return jnp.einsum("nctv,vw->nctw", h, unpool.astype(h.dtype))
+
+
+def decode(params: Dict, cfg: GeneratorConfig, src_encoded: jnp.ndarray,
+           cha_encoded: jnp.ndarray, *, key=None, train=False) -> jnp.ndarray:
+    """Decoder transformer + inverse embedding -> motion (model.py:100-106,
+    71-80)."""
+    A_j, _, _, _ = _constants(cfg)
+    if key is not None:
+        key, kd = jax.random.split(key)
+    else:
+        kd = None
+    h = _decode_trunk(params, cfg, src_encoded, cha_encoded,
+                      key=kd, train=train)
     h = stgcn_block(params["head"]["joint"], h, A_j)
     h = leaky_relu(h, 0.2)
     h = conv1x1(params["head"]["conv_out"], h)
@@ -231,23 +239,17 @@ def decode_stream(params: Dict, cfg: GeneratorConfig,
     Returns (last_Ytil (B, njoints, 15), vel0_til (B, T, 3)) — both still
     normalized (caller denorms with Y_std/Y_mean rows).
     """
-    A_j, A_b, _, unpool = _constants(cfg)
-    tps = cfg.temporal_patch_size
-
-    tok = transformer(
-        params["decoder"], src_encoded, cha_encoded, heads=cfg.decoder_heads,
-        adain_on=True, drop=cfg.dropout, key=None, train=False)
-    b, s, c = tok.shape
-    h = tok.reshape(b, cfg.num_temp, cfg.nbody, c).transpose(0, 3, 1, 2)
-    h = stgcn_block(params["head"]["body"], h, A_b)
-    h = jnp.repeat(h, tps, axis=2)
-    u = jnp.einsum("nctv,vw->nctw", h, unpool.astype(h.dtype))
+    A_j, _, _, _ = _constants(cfg)
+    u = _decode_trunk(params, cfg, src_encoded, cha_encoded)
     T = u.shape[2]
 
     p_j = params["head"]["joint"]
     co = params["head"]["conv_out"]
     w_t = p_j["tcn"]["weight"]          # (O, I, k, 1)
     k_t = w_t.shape[2]
+    # the reflect-tap formula below assumes symmetric same-padding, which
+    # only holds for odd temporal kernels (the reference uses k=5)
+    assert k_t % 2 == 1, f"decode_stream requires an odd t-kernel, got {k_t}"
     pad = (k_t - 1) // 2
     K = A_j.shape[0]
 

@@ -152,6 +152,11 @@ class LiveCharacterizer:
     def push_frame(self, frame: Dict) -> Dict[str, np.ndarray]:
         """Process one source frame; returns the characterized pose dict
         (src/trans/ik/cm pos+rot rows, contact flags, NN index)."""
+        if self._pending is not None:
+            raise RuntimeError(
+                "a pipelined frame is still in flight — call flush() "
+                "before switching from push_frame_pipelined to push_frame "
+                "(its pose would otherwise be silently dropped)")
         return self._unpack_out(np.asarray(self._dispatch(frame)))
 
     def push_frame_pipelined(self, frame: Dict) -> Optional[Dict[str, np.ndarray]]:
