@@ -43,6 +43,14 @@ def main():
     ap.add_argument("--no-ik", action="store_true",
                     help="disable the foot-contact locking + two-bone IK "
                          "fixup (ablation for the step cost model)")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="deterministic CVAE sampling (z = prior mu, no "
+                         "RNG draws; ablation for the PRNG cost)")
+    ap.add_argument("--rbg-prng", action="store_true",
+                    help="use the counter-based rbg PRNG for the CVAE "
+                         "noise (measured 21% SLOWER than threefry on "
+                         "v5e; threefry itself is free — --deterministic "
+                         "matches the default within noise)")
     ap.add_argument("--latency", action="store_true",
                     help="report per-frame latency of a single live stream "
                          "(device step time; scan time / frames)")
@@ -77,6 +85,9 @@ def main():
                  "--unroll; drop them so the label matches the measurement")
     from mocha_sigasia2023_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
+    if args.rbg_prng:
+        import jax
+        jax.config.update("jax_default_prng_impl", "rbg")
     if args.attn:
         return bench_attn(args)
     if args.fused_attention:
@@ -154,6 +165,7 @@ def main():
     run = make_batch_runner(params, cfg, cvae_params, cvae_cfg, consts,
                             parents, compute_cm=not args.single_stream,
                             ik=IKConfig(enabled=not args.no_ik),
+                            deterministic=args.deterministic,
                             compute_dtype=compute_dtype, unroll=args.unroll,
                             fuse_decodes=args.fuse_decodes,
                             lean_decode=args.lean_decode)
