@@ -459,6 +459,34 @@ class TestLeanDecode:
                                        err_msg=k)
 
 
+class TestBf16Fidelity:
+    def test_bf16_positions_within_2e3_of_f32(self, setup):
+        """The bf16 serving mode (matmuls bf16, pose math f32) must track
+        the f32 path within 2e-3 m positions across the whole clip — the
+        0.5-blend decays per-frame matmul noise instead of accumulating
+        it.  (Measured ~1e-4 on this random-init oracle; trained weights
+        have larger activations, hence the looser pinned bound.)"""
+        s = setup
+        a = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            key=jax.random.PRNGKey(5))
+        bf_params = jax.tree.map(
+            lambda t: t.astype(jnp.bfloat16), s["params"])
+        bf_cvae = jax.tree.map(
+            lambda t: t.astype(jnp.bfloat16), s["cvae_params"])
+        b = rts.characterize_clip(
+            bf_params, s["cfg"], bf_cvae, s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            compute_dtype=jnp.bfloat16, key=jax.random.PRNGKey(5))
+        for k in ("trans_pos", "ik_pos", "cm_pos"):
+            err = float(np.abs(a[k] - b[k]).max())
+            assert err <= 2e-3, f"{k}: bf16 drift {err:.2e} > 2e-3"
+        # near-tie database rows may swap under bf16 scores; wholesale
+        # disagreement would mean the argmin is broken
+        assert float((a["nn_index"] == b["nn_index"]).mean()) > 0.9
+
+
 class TestLiveSession:
     def test_live_matches_offline_scan(self, setup):
         """Frame-at-a-time sessions must reproduce the offline scan."""
