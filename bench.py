@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--frames", type=int, default=240)
     ap.add_argument("--db-size", type=int, default=2048)
+    ap.add_argument("--characters", type=int, default=1,
+                    help="serve N distinct characters round-robin across "
+                         "the streams from one shared database stack "
+                         "(multi_character runner)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no-cvae", action="store_true")
     ap.add_argument("--single-stream", action="store_true",
@@ -161,14 +165,27 @@ def main():
         return bench_live(args, params, cfg, cvae_params, cvae_cfg, consts,
                           parents, feats)
 
-    from mocha_sigasia2023_tpu.runtime.stream import IKConfig
-    run = make_batch_runner(params, cfg, cvae_params, cvae_cfg, consts,
-                            parents, compute_cm=not args.single_stream,
-                            ik=IKConfig(enabled=not args.no_ik),
-                            deterministic=args.deterministic,
-                            compute_dtype=compute_dtype, unroll=args.unroll,
-                            fuse_decodes=args.fuse_decodes,
-                            lean_decode=args.lean_decode)
+    from mocha_sigasia2023_tpu.runtime.stream import IKConfig, stack_consts
+    multi = args.characters > 1
+    if multi:
+        # N characters: shift the one synthetic database per character
+        consts = stack_consts([
+            consts._replace(cha_encoded=consts.cha_encoded + 0.01 * c)
+            for c in range(args.characters)])
+    runner = make_batch_runner(params, cfg, cvae_params, cvae_cfg, consts,
+                               parents, compute_cm=not args.single_stream,
+                               ik=IKConfig(enabled=not args.no_ik),
+                               deterministic=args.deterministic,
+                               compute_dtype=compute_dtype,
+                               unroll=args.unroll,
+                               fuse_decodes=args.fuse_decodes,
+                               lean_decode=args.lean_decode,
+                               multi_character=multi)
+    if multi:
+        char_ids = np.arange(S, dtype=np.int32) % args.characters
+        run = lambda f0, xs_, ks: runner(f0, xs_, ks, char_ids)
+    else:
+        run = runner
     frame0, xs = stack_stream_inputs(feats)
     keys = jax.random.split(jax.random.PRNGKey(7), S)
 

@@ -518,13 +518,22 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                       dt: float = 1.0 / 60.0, deterministic: bool = False,
                       compute_cm: bool = True, compute_dtype=None,
                       root_dtype=None, unroll: int = 1,
-                      fuse_decodes: bool = False, lean_decode: bool = False):
+                      fuse_decodes: bool = False, lean_decode: bool = False,
+                      multi_character: bool = False):
     """Batched-streams characterizer: vmap the per-frame step over S
     parallel streams and scan over time — the ">=10k frames/sec/chip" play
     (SURVEY.md §5: scale by batching streams, not sharding a window).
 
     Returns a jitted fn(frame0, xs, keys) where frame0 pytree leaves have
     leading dim S, xs leaves (T-1, S, ...), keys (S, 2).
+
+    ``multi_character=True`` serves a DIFFERENT character per stream from
+    ONE shared database stack: ``consts`` leaves carry a leading C
+    (character) axis (build with :func:`stack_consts`, which pads
+    databases to a common size with +inf-scored rows), and the runner
+    takes an extra ``char_ids`` (S,) int32 array mapping each stream to
+    its character.  Each stream's step gathers its character's rows from
+    the shared stack — C characters cost C databases of HBM, not S.
     """
     use_cvae = cvae_params is not None
     step = make_stream_step(cfg, cvae_cfg, parents, contact_bones, ik, dt,
@@ -536,26 +545,105 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                             lean_decode=lean_decode)
 
     @jax.jit
-    def run(params, cvae_params, consts, frame0, xs, keys):
-        ctx = (params, cvae_params, consts)
+    def run(params, cvae_params, consts, frame0, xs, keys, char_ids):
+        def consts_for(cid):
+            if char_ids is None:
+                return consts
+            # Character selection WITHOUT per-stream database copies: the
+            # big leaves stay unbatched (C*M)-flattened shared arrays (a
+            # naive consts[cid] gather under vmap materializes an
+            # (S, M, tok, dim) temp — 11 GB at bench scale); the stream's
+            # character is selected by masking other characters' rows to
+            # +inf in the squared-norm term of the NN distance, so the
+            # score matmul runs once against the shared stack and only
+            # the winning row is gathered.
+            C, M = consts.cha_cnt_sq.shape
+            row_char = jnp.arange(C * M, dtype=jnp.int32) // M
+            sq_masked = consts.cha_cnt_sq.reshape(-1) + jnp.where(
+                row_char == cid, 0.0, jnp.inf)
+            return consts._replace(
+                cha_encoded=consts.cha_encoded.reshape(
+                    (C * M,) + consts.cha_encoded.shape[2:]),
+                cha_cnt_flat=consts.cha_cnt_flat.reshape(
+                    (C * M, consts.cha_cnt_flat.shape[-1])),
+                cha_cnt_sq=sq_masked,
+                Y_mean=consts.Y_mean[cid], Y_std=consts.Y_std[cid],
+                cnt_mean=consts.cnt_mean[cid],
+                cnt_std=consts.cnt_std[cid],
+                src_cnt_mean=consts.src_cnt_mean[cid],
+                src_cnt_std=consts.src_cnt_std[cid],
+                cha_encoded_mean=consts.cha_encoded_mean[cid],
+                cha_encoded_std=consts.cha_encoded_std[cid])
 
-        def init_one(f0, key):
-            return init_stream(params, cfg, consts, parents, f0,
+        def init_one(f0, key, cid):
+            return init_stream(params, cfg, consts_for(cid), parents, f0,
                                contact_bones, dt, key,
                                root_dtype=root_dtype,
                                lean_decode=lean_decode)
 
-        carry, out0 = jax.vmap(init_one)(frame0, keys)
-        step_v = jax.vmap(lambda c, x: step(ctx, c, x))
-        _, outs = lax.scan(step_v, carry, xs, unroll=unroll)
+        cid_axis = None if char_ids is None else 0
+        carry, out0 = jax.vmap(init_one, in_axes=(0, 0, cid_axis))(
+            frame0, keys, char_ids)
+        step_v = jax.vmap(
+            lambda c, x, cid: step(
+                (params, cvae_params, consts_for(cid)), c, x),
+            in_axes=(0, 0, cid_axis))
+        _, outs = lax.scan(lambda c, x: step_v(c, x, char_ids), carry, xs,
+                           unroll=unroll)
         # outs: (T-1, S, ...) -> prepend frame 0 -> (T, S, ...)
-        return jax.tree.map(
+        out = jax.tree.map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, outs)
+        if char_ids is not None:
+            # NN matched against the (C*M)-flattened stack; report the
+            # character-local index (reference semantics)
+            M = consts.cha_cnt_sq.shape[1]
+            out["nn_index"] = out["nn_index"] - char_ids[None, :] * M
+        return out
 
-    def runner(frame0, xs, keys):
-        return run(params, cvae_params, consts, frame0, xs, keys)
+    if multi_character:
+        def runner(frame0, xs, keys, char_ids):
+            return run(params, cvae_params, consts, frame0, xs, keys,
+                       jnp.asarray(char_ids, jnp.int32))
+    else:
+        def runner(frame0, xs, keys):
+            return run(params, cvae_params, consts, frame0, xs, keys, None)
 
     return runner
+
+
+def pad_character_database(consts: RuntimeConsts, target_m: int) -> RuntimeConsts:
+    """Pad one character's context database to ``target_m`` rows so
+    differently-sized characters can stack into one batch.  Padded rows get
+    +inf squared norm, so the exact NN argmin (|q|^2 - 2qx + |x|^2) can
+    never select them; their encoded rows are zeros."""
+    m = consts.cha_encoded.shape[0]
+    if m > target_m:
+        raise ValueError(f"database has {m} rows > target {target_m}")
+    if m == target_m:
+        return consts
+    pad = target_m - m
+    return consts._replace(
+        cha_encoded=jnp.concatenate(
+            [consts.cha_encoded,
+             jnp.zeros((pad,) + consts.cha_encoded.shape[1:],
+                       consts.cha_encoded.dtype)]),
+        cha_cnt_flat=jnp.concatenate(
+            [consts.cha_cnt_flat,
+             jnp.zeros((pad, consts.cha_cnt_flat.shape[1]),
+                       consts.cha_cnt_flat.dtype)]),
+        cha_cnt_sq=jnp.concatenate(
+            [consts.cha_cnt_sq,
+             jnp.full((pad,), jnp.inf, consts.cha_cnt_sq.dtype)]),
+    )
+
+
+def stack_consts(consts_list) -> RuntimeConsts:
+    """Stack per-character RuntimeConsts into the shared character stack
+    for ``make_batch_runner(multi_character=True)`` (databases padded to a
+    common size first)."""
+    target_m = max(c.cha_encoded.shape[0] for c in consts_list)
+    padded = [pad_character_database(c, target_m) for c in consts_list]
+    return jax.tree.map(lambda *leaves: jnp.stack(leaves), *padded)
 
 
 def stack_stream_inputs(stream_feats: Dict):

@@ -24,6 +24,7 @@ from mocha_sigasia2023_tpu.models import (
 from mocha_sigasia2023_tpu.runtime import export as jexport
 from mocha_sigasia2023_tpu.runtime import features as rtf
 from mocha_sigasia2023_tpu.runtime import stream as rts
+from mocha_sigasia2023_tpu.runtime.live import LiveCharacterizer
 from mocha_sigasia2023_tpu.runtime.matching import ContextIndex
 from mocha_sigasia2023_tpu.runtime.stream import IKConfig, RuntimeConsts
 
@@ -457,6 +458,56 @@ class TestLeanDecode:
         for k in ("trans_pos", "ik_pos", "cm_pos", "nn_index"):
             np.testing.assert_allclose(a[k], b[k], atol=1e-4, rtol=1e-4,
                                        err_msg=k)
+
+
+class TestMultiCharacterServing:
+    def test_per_stream_characters_match_single_runs(self, setup):
+        """One batched session serving a DIFFERENT character per stream
+        (multi_character=True: shared C-character database stack, padded
+        with +inf-scored rows, per-stream char_ids gather) must reproduce
+        each character's dedicated single-character runner exactly."""
+        s = setup
+        # character B: reuse the source clip as a second character database
+        bf = s["src_feats"]
+        cnt_mean = bf["cnt"].mean(axis=0)
+        cnt_std = bf["cnt"].std(axis=0) + 1e-6
+        enc_mean = bf["encoded"].mean(axis=0)
+        enc_std = bf["encoded"].std(axis=0) + 1e-6
+        flat = ((bf["cnt"] - cnt_mean) / cnt_std).reshape(len(bf["cnt"]), -1)
+        consts_b = s["consts"]._replace(
+            cha_encoded=jnp.asarray(bf["encoded"]),
+            cha_cnt_flat=jnp.asarray(flat),
+            cha_cnt_sq=jnp.asarray((flat ** 2).sum(-1)),
+            cnt_mean=jnp.asarray(cnt_mean), cnt_std=jnp.asarray(cnt_std),
+            src_cnt_mean=jnp.asarray(cnt_mean),
+            src_cnt_std=jnp.asarray(cnt_std),
+            cha_encoded_mean=jnp.asarray(enc_mean),
+            cha_encoded_std=jnp.asarray(enc_std))
+        consts_a = s["consts"]
+        assert consts_a.cha_encoded.shape[0] != consts_b.cha_encoded.shape[0]
+
+        feats2 = {k: np.stack([np.asarray(s["src_feats"][k])] * 2)
+                  for k in LiveCharacterizer.FEAT_KEYS}
+        frame0, xs = rts.stack_stream_inputs(feats2)
+        keys = jnp.stack([jax.random.PRNGKey(3)] * 2)
+
+        multi = rts.make_batch_runner(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            rts.stack_consts([consts_a, consts_b]), s["parents"],
+            deterministic=True, multi_character=True)(
+                frame0, xs, keys, np.array([0, 1], np.int32))
+
+        for i, consts_i in enumerate([consts_a, consts_b]):
+            feats1 = {k: v[:1] for k, v in feats2.items()}
+            f0, x1 = rts.stack_stream_inputs(feats1)
+            single = rts.make_batch_runner(
+                s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+                consts_i, s["parents"], deterministic=True)(
+                    f0, x1, keys[:1])
+            for k in ("trans_pos", "ik_pos", "cm_pos", "nn_index"):
+                np.testing.assert_allclose(
+                    np.asarray(multi[k])[:, i], np.asarray(single[k])[:, 0],
+                    atol=1e-5, rtol=1e-4, err_msg=f"stream {i} {k}")
 
 
 class TestBf16Fidelity:
