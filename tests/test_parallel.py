@@ -36,7 +36,7 @@ class TestMesh:
     def test_psum_over_data_axis(self):
         """XLA collectives ride the mesh: a shard_map psum over 'data'
         reduces contributions from all 8 devices."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh = make_mesh()
         x = jnp.arange(8.0)
