@@ -115,7 +115,12 @@ def build_consts(norm, cnt_norm, cvae_norm, cha_feats) -> RuntimeConsts:
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default=DEFAULT_CONFIG)
-    ap.add_argument("--src", required=True, help="source BVH")
+    ap.add_argument("--src", default=None, help="source BVH")
+    ap.add_argument("--src-dir", default=None,
+                    help="characterize EVERY *.bvh under this directory as "
+                         "parallel batched streams on one chip (the "
+                         "throughput path, runtime.stream.make_batch_runner)"
+                         "; writes one Src_/Ours_/CM_ triple per clip")
     ap.add_argument("--cha", required=True, help="character BVH")
     ap.add_argument("--gen-ckpt", default=None)
     ap.add_argument("--cvae-ckpt", default=None)
@@ -137,6 +142,10 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 decoder/CVAE matmuls (f32 pose math)")
     args = ap.parse_args(argv)
+    if (args.src is None) == (args.src_dir is None):
+        ap.error("provide exactly one of --src or --src-dir")
+    if args.src_dir and args.viz:
+        ap.error("--viz is a single-clip option; use it with --src")
 
     from ..utils import enable_compilation_cache
     enable_compilation_cache()
@@ -158,7 +167,14 @@ def main(argv=None):
     params = load_generator(args, cfg)
     cvae_params = load_cvae(args, cvae_cfg)
 
-    src_bvh = bvh.load(args.src)
+    if args.src_dir:
+        import glob as globmod
+        src_paths = sorted(globmod.glob(
+            os.path.join(args.src_dir, "**", "*.bvh"), recursive=True))
+        if not src_paths:
+            raise SystemExit(f"no .bvh files under {args.src_dir}")
+    else:
+        src_paths = [args.src]
     cha_bvh = bvh.load(args.cha)
 
     if args.norm:
@@ -179,7 +195,10 @@ def main(argv=None):
         print("note: no --norm given; derived stats from the character clip")
 
     print("featurizing + encoding source / character clips ...")
-    src_feats = rtf.clip_stream_features(src_bvh, params, cfg, norm)
+    src_feats_list = [
+        rtf.clip_stream_features(bvh.load(p), params, cfg, norm)
+        for p in src_paths]
+    src_feats = src_feats_list[0]
     cha_feats = rtf.clip_stream_features(cha_bvh, params, cfg, norm)
 
     if args.cnt_norm:
@@ -192,35 +211,73 @@ def main(argv=None):
     consts = build_consts(norm, cnt_norm, cvae_norm, cha_feats)
     parents = src_feats["bone_parents"]
 
-    print(f"characterizing {len(src_feats['encoded'])} frames ...")
     compute_dtype = jnp.bfloat16 if args.bf16 else None
     if args.bf16:
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
         if cvae_params is not None:
             cvae_params = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16), cvae_params)
+
+    ensure_dirs(args.out)
+    names = src_feats["bone_names"][1:]
+    cha_name = os.path.basename(args.cha)
+
+    def write_outputs(src_path, o):
+        src_name = os.path.basename(src_path)
+        src_out = os.path.join(args.out, "Src_" + src_name)
+        ours_out = os.path.join(
+            args.out, "Ours_" + src_name[:-4] + "_To_" + cha_name)
+        cm_out = os.path.join(
+            args.out, "CM_" + src_name[:-4] + "_To_" + cha_name)
+        rtexport.save_characterized_bvh(
+            src_out, o["src_pos"], o["src_rot"], parents, names)
+        rtexport.save_characterized_bvh(
+            ours_out, o["ik_pos"], o["ik_rot"], parents, names)
+        rtexport.save_characterized_bvh(
+            cm_out, o["cm_pos"], o["cm_rot"], parents, names)
+        print(f"wrote {src_out}\nwrote {ours_out}\nwrote {cm_out}")
+
+    if args.src_dir:
+        # batched throughput path: all clips run as parallel streams of
+        # ONE scanned program; shorter clips edge-pad to the longest and
+        # outputs are trimmed back per clip
+        lengths = [len(f["encoded"]) for f in src_feats_list]
+        T = max(lengths)
+        print(f"characterizing {len(src_paths)} clips "
+              f"({sum(lengths)} frames) as parallel streams ...")
+
+        def pad(a, L):
+            reps = np.repeat(a[-1:], T - L, axis=0)
+            return np.concatenate([np.asarray(a), reps], axis=0)
+
+        from ..runtime.live import LiveCharacterizer
+        feats_stack = {
+            k: np.stack([pad(np.asarray(f[k]), L)
+                         for f, L in zip(src_feats_list, lengths)])
+            for k in LiveCharacterizer.FEAT_KEYS}
+        frame0, xs = rts.stack_stream_inputs(feats_stack)
+        runner = rts.make_batch_runner(
+            params, cfg, cvae_params, cvae_cfg, consts, parents,
+            contact_bones=tuple(rt.get("contact_bones", (5, 24))),
+            ik=ik_cfg, dt=rt.get("dt", 1.0 / 60.0),
+            deterministic=args.deterministic,
+            compute_cm=not args.production, compute_dtype=compute_dtype,
+            root_dtype=jnp.float64)
+        keys = jax.random.split(jax.random.PRNGKey(args.seed),
+                                len(src_paths))
+        out = jax.tree.map(np.asarray, runner(frame0, xs, keys))
+        for i, (p, L) in enumerate(zip(src_paths, lengths)):
+            write_outputs(p, {k: v[:L, i] for k, v in out.items()})
+        return out
+
+    print(f"characterizing {len(src_feats['encoded'])} frames ...")
     out = rts.characterize_clip(
         params, cfg, cvae_params, cvae_cfg, consts, parents, src_feats,
         contact_bones=tuple(rt.get("contact_bones", (5, 24))), ik=ik_cfg,
         dt=rt.get("dt", 1.0 / 60.0), deterministic=args.deterministic,
         compute_cm=not args.production, compute_dtype=compute_dtype,
         key=jax.random.PRNGKey(args.seed))
-
-    ensure_dirs(args.out)
-    names = src_feats["bone_names"][1:]
-    src_name = os.path.basename(args.src)
-    cha_name = os.path.basename(args.cha)
-    src_out = os.path.join(args.out, "Src_" + src_name)
-    ours_out = os.path.join(
-        args.out, "Ours_" + src_name[:-4] + "_To_" + cha_name)
-    rtexport.save_characterized_bvh(
-        src_out, out["src_pos"], out["src_rot"], parents, names)
-    rtexport.save_characterized_bvh(
-        ours_out, out["ik_pos"], out["ik_rot"], parents, names)
-    cm_out = os.path.join(args.out, "CM_" + src_name[:-4] + "_To_" + cha_name)
-    rtexport.save_characterized_bvh(
-        cm_out, out["cm_pos"], out["cm_rot"], parents, names)
-    print(f"wrote {src_out}\nwrote {ours_out}\nwrote {cm_out}")
+    write_outputs(args.src, out)
 
     if args.viz:
         import matplotlib

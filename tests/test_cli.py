@@ -136,3 +136,26 @@ class TestCLIChain:
         loaded = jbvh.load(str(d / "results" / sorted(files)[-1]))
         assert np.isfinite(loaded["rotations"]).all()
         assert np.all(np.isfinite(out["ik_pos"]))
+
+    def test_6_characterize_batch_dir(self, workdir, monkeypatch):
+        """--src-dir runs every clip as a parallel stream of ONE scanned
+        program (the throughput path) and trims outputs per clip."""
+        d = workdir["dir"]
+        monkeypatch.chdir(d)
+        cli_char.main([
+            "--config", workdir["config"],
+            "--src-dir", str(d / "bvh"),
+            "--cha", str(d / "bvh" / "Walk_Neutral_Princess_002.bvh"),
+            "--gen-ckpt", str(d / "model_tiny" / "pth" / "gen_001.msgpack"),
+            "--norm", str(d / "datasets" / "mocha60" / "norm.npz"),
+            "--cnt-norm", str(d / "datasets" / "mocha60" / "cnt_norm.npz"),
+            "--out", str(d / "results_batch"), "--deterministic",
+            "--random-init"])
+        ours = sorted(f for f in os.listdir(d / "results_batch")
+                      if f.startswith("Ours_"))
+        assert len(ours) == 2
+        # clips have different lengths (180 vs 200 frames raw) — outputs
+        # must be trimmed per clip, not padded to the longest
+        n_frames = [jbvh.load(str(d / "results_batch" / f))["rotations"].shape[0]
+                    for f in ours]
+        assert n_frames[0] != n_frames[1]
