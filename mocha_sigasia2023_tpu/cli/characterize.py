@@ -199,6 +199,16 @@ def main(argv=None):
         rtf.clip_stream_features(bvh.load(p), params, cfg, norm)
         for p in src_paths]
     src_feats = src_feats_list[0]
+    for p, f in zip(src_paths[1:], src_feats_list[1:]):
+        # mixed skeletons would otherwise die in an opaque np.stack shape
+        # error (or, worse, write BVHs with the wrong hierarchy)
+        if (list(f["bone_names"]) != list(src_feats["bone_names"])
+                or not np.array_equal(f["bone_parents"],
+                                      src_feats["bone_parents"])):
+            raise SystemExit(
+                f"{p}: skeleton differs from {src_paths[0]} — all clips "
+                "in --src-dir must share one hierarchy (joint names and "
+                "parents)")
     cha_feats = rtf.clip_stream_features(cha_bvh, params, cfg, norm)
 
     if args.cnt_norm:

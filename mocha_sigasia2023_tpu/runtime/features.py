@@ -123,6 +123,104 @@ def _rot_from_Y(Y):
     return quat.from_xform_xy(Y[..., 3:9].reshape(b, t, j, 3, 2))
 
 
+@functools.lru_cache(maxsize=16)
+def _stream_featurizer_jitted(cfg: gen.GeneratorConfig, nframes, order, names,
+                              parents, window, mirror, threshold, fps, chunk,
+                              compute_dtype):
+    from jax import lax
+
+    from ..data.preprocess import featurize_clip
+
+    parents_arr = np.asarray(parents)
+    bone_parents = np.concatenate([[-1], parents_arr + 1])
+    idx, pad = padded_window_indices(nframes, window, 1)
+    n_windows = len(idx)
+    csize = min(chunk, n_windows)
+    G = -(-n_windows // csize)
+    pad_rows = G * csize - n_windows
+    idx_p = np.concatenate([idx, np.repeat(idx[-1:], pad_rows, axis=0)])
+    pad_p = np.concatenate([pad, np.repeat(pad[-1:], pad_rows, axis=0)])
+    idx_p = idx_p.reshape(G, csize, window)
+    pad_p = pad_p.reshape(G, csize, window)
+
+    def fn(params, X_mean, X_std, rot_deg, pos_cm):
+        feats = featurize_clip(
+            rot_deg, pos_cm, order, list(names), parents_arr, mirror=mirror,
+            contact_velocity_threshold=threshold, fps=fps)
+
+        def do_chunk(c):
+            ci, cp = c
+            Ypos = gather_windows(feats["positions"], ci)
+            Yvel = gather_windows(feats["velocities"], ci, cp)
+            Yrot = gather_windows(feats["rotations"], ci)
+            Yang = gather_windows(feats["angular_velocities"], ci, cp)
+
+            X, Y, root = window_xy_features(Yrot, Ypos, Yvel, Yang,
+                                            bone_parents)
+            x_in = (X[:, :, 1:] - X_mean[None, None, 1:]) \
+                / X_std[None, None, 1:]
+            if compute_dtype is not None:
+                x_in = x_in.astype(compute_dtype)
+            encoded = gen.encode(params, cfg, x_in)
+            cnt = gen.content_feature(encoded)
+            return {
+                "encoded": encoded.astype(jnp.float32),
+                "cnt": cnt.astype(jnp.float32),
+                "pos_last": Y[:, -1, :, :3],
+                "rot_last": _rot_from_Y(Y[:, -1:])[:, 0],
+                "vel_last": Y[:, -1, :, 9:12],
+                "ang_last": Y[:, -1, :, 12:15],
+                "rvel_last": root[:, -1, :3],
+                "rang_last": root[:, -1, 3:],
+                "contact_last": feats["contacts"][ci[:, -1]].astype(
+                    jnp.float32),
+                "hips_speed_mean": jnp.mean(
+                    jnp.linalg.norm(Y[:, :, 1, 9:12], axis=-1), axis=1),
+            }
+
+        if G == 1:
+            out = do_chunk((jnp.asarray(idx_p[0]), jnp.asarray(pad_p[0])))
+            return jax.tree.map(lambda a: a[:n_windows], out)
+        out = lax.map(do_chunk, (jnp.asarray(idx_p), jnp.asarray(pad_p)))
+        return jax.tree.map(
+            lambda a: a.reshape((G * csize,) + a.shape[2:])[:n_windows], out)
+
+    return jax.jit(fn)
+
+
+def clip_stream_features_device(bvh_data: Dict, params,
+                                cfg: gen.GeneratorConfig,
+                                norm: Dict[str, np.ndarray], *,
+                                window: int = 60, mirror: bool = False,
+                                chunk: int = 256,
+                                compute_dtype=None) -> Dict:
+    """Device-resident equivalent of :func:`clip_stream_features`: the whole
+    featurize -> sliding-window gather -> X/Y derive -> encode pipeline runs
+    as ONE jitted XLA program per clip length (long clips process in
+    ``chunk``-window groups via lax.map, bounding peak memory), and the
+    returned feature arrays stay on device — no host round-trips between
+    featurization and the stream scan.
+
+    This is the throughput path the end-to-end benchmark measures
+    (test_fullframework.py:124-203 performs this stage per frame inside its
+    demo loop); ``compute_dtype=jnp.bfloat16`` runs the encoder matmuls in
+    bf16 (cast ``params`` to match).
+    """
+    rot = jnp.asarray(bvh_data["rotations"], jnp.float32)
+    pos = jnp.asarray(bvh_data["positions"], jnp.float32)
+    fn = _stream_featurizer_jitted(
+        cfg, rot.shape[0], bvh_data["order"], tuple(bvh_data["names"]),
+        tuple(int(p) for p in bvh_data["parents"]), int(window), bool(mirror),
+        0.5, 60.0, int(chunk),
+        None if compute_dtype is None else jnp.dtype(compute_dtype).name)
+    out = dict(fn(params, jnp.asarray(norm["X_mean"], jnp.float32),
+                  jnp.asarray(norm["X_std"], jnp.float32), rot, pos))
+    out["bone_parents"] = np.concatenate(
+        [[-1], np.asarray(bvh_data["parents"]) + 1])
+    out["bone_names"] = ["Root"] + list(bvh_data["names"])
+    return out
+
+
 def database_window_features(db: Dict, *, window: int = 60, step: int = 20,
                              clip_filter=None):
     """Window a loaded database per range with labels, full windows only

@@ -601,9 +601,19 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
         return out
 
     if multi_character:
+        n_characters = int(consts.cha_cnt_sq.shape[0])
+
         def runner(frame0, xs, keys, char_ids):
+            # validate host-side: an out-of-range id would clamp silently
+            # inside the jnp gathers and serve the wrong character
+            cid = np.asarray(char_ids)
+            if cid.size and (cid.min() < 0 or cid.max() >= n_characters):
+                raise ValueError(
+                    f"char_ids must be in [0, {n_characters}) — got range "
+                    f"[{cid.min()}, {cid.max()}] for a {n_characters}-"
+                    "character consts stack")
             return run(params, cvae_params, consts, frame0, xs, keys,
-                       jnp.asarray(char_ids, jnp.int32))
+                       jnp.asarray(cid, jnp.int32))
     else:
         def runner(frame0, xs, keys):
             return run(params, cvae_params, consts, frame0, xs, keys, None)

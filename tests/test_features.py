@@ -115,3 +115,43 @@ class TestCollectCharacterFeatures:
         with pytest.raises(ValueError):
             rtf.database_window_features(
                 s["db"], clip_filter=lambda st, ac: False)
+
+
+class TestClipStreamFeaturesDevice:
+    def test_matches_host_pipeline(self, setup):
+        """The single-program device featurizer (bench --e2e path) must
+        equal the host-side clip_stream_features stage for stage."""
+        from helpers import make_mocha_bvh_data
+
+        s = setup
+        clip = make_mocha_bvh_data(T=150, seed=3)
+        host = rtf.clip_stream_features(clip, s["params"], s["cfg"],
+                                        s["norm"])
+        dev = rtf.clip_stream_features_device(clip, s["params"], s["cfg"],
+                                              s["norm"])
+        assert list(dev["bone_names"]) == list(host["bone_names"])
+        np.testing.assert_array_equal(dev["bone_parents"],
+                                      host["bone_parents"])
+        for k in ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
+                  "ang_last", "rvel_last", "rang_last", "contact_last",
+                  "hips_speed_mean"):
+            np.testing.assert_allclose(
+                np.asarray(dev[k]), np.asarray(host[k]), atol=2e-4,
+                err_msg=k)
+
+    def test_chunked_equals_unchunked(self, setup):
+        """lax.map chunking (long-clip memory bound) must not change
+        results or window counts."""
+        from helpers import make_mocha_bvh_data
+
+        s = setup
+        clip = make_mocha_bvh_data(T=150, seed=4)
+        full = rtf.clip_stream_features_device(clip, s["params"], s["cfg"],
+                                               s["norm"], chunk=256)
+        small = rtf.clip_stream_features_device(clip, s["params"], s["cfg"],
+                                                s["norm"], chunk=32)
+        assert full["encoded"].shape == small["encoded"].shape == (135, 90, 256)
+        for k in ("encoded", "pos_last", "hips_speed_mean"):
+            np.testing.assert_allclose(
+                np.asarray(full[k]), np.asarray(small[k]), atol=1e-5,
+                err_msg=k)

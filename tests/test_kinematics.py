@@ -287,6 +287,84 @@ class TestInertialization:
             assert_close(cs.position[0], r["position"], atol=1e-4, rtol=1e-3)
             assert_close(cs.point[0], r["point"], atol=1e-4, rtol=1e-3)
 
+    def test_pose_inertializer_trajectory_matches_reference(self):
+        """Whole-pose inertializer (pose_transition + pose_update) vs the
+        reference per-bone loops (Inertialization.py:136-297): transition,
+        40 update ticks, a SECOND mid-stream transition, 40 more ticks."""
+        rng = np.random.RandomState(3)
+        J, dt, halflife = 6, 1 / 60.0, 0.15
+
+        def vecs():
+            return rng.uniform(-1, 1, (J, 3)).astype(np.float32)
+
+        def quats():
+            return rand_quat(J).astype(np.float32)
+
+        root_pos, root_vel = vecs()[0], vecs()[0]
+        root_rot, root_ang = quats()[0], vecs()[0]
+        src = dict(pos=vecs(), vel=vecs(), rot=quats(), ang=vecs())
+        dst = dict(pos=vecs(), vel=vecs(), rot=quats(), ang=vecs())
+
+        # reference state: copies (the reference mutates in place)
+        r_off = [np.zeros((J, 3)), np.zeros((J, 3)),
+                 np.tile(np.array([1.0, 0, 0, 0]), (J, 1)), np.zeros((J, 3))]
+        off = ji.PoseOffsets.zeros(J)
+
+        def do_transition():
+            nonlocal r_off, off, r_trans, trans
+            out = rinert.pose_transition(
+                r_off[0].copy(), r_off[1].copy(), r_off[2].copy(),
+                r_off[3].copy(), root_pos, root_vel, root_rot, root_ang,
+                src["pos"], src["vel"], src["rot"], src["ang"],
+                dst["pos"], dst["vel"], dst["rot"], dst["ang"])
+            r_off, r_trans = list(out[:4]), out[4:]
+            off, trans = ji.pose_transition(
+                off, *(jnp.asarray(a) for a in
+                       (root_pos, root_vel, root_rot, root_ang)),
+                *(jnp.asarray(src[k]) for k in ("pos", "vel", "rot", "ang")),
+                *(jnp.asarray(dst[k]) for k in ("pos", "vel", "rot", "ang")))
+            for a, b in zip(off, r_off):
+                assert_close(a, b, atol=1e-4, rtol=1e-3)
+
+        r_trans, trans = None, None
+        do_transition()
+
+        t = 0.0
+        for i in range(80):
+            if i == 40:
+                # mid-stream re-transition from fresh poses (the offsets are
+                # non-zero now — exercises the accumulate path)
+                src = dict(pos=vecs(), vel=vecs(), rot=quats(), ang=vecs())
+                dst = dict(pos=vecs(), vel=vecs(), rot=quats(), ang=vecs())
+                root_pos = root_pos + rng.uniform(-0.5, 0.5, 3)
+                do_transition()
+            t += dt
+            in_pos = src["pos"] + 0.3 * np.sin(t * 4.0)
+            in_vel = src["vel"] * np.cos(t * 2.0)
+            in_rot = np.asarray(rq.mul(
+                src["rot"],
+                rq.from_scaled_angle_axis(
+                    0.2 * np.sin(t * 3.0) * np.ones((J, 3)))), np.float32)
+            in_ang = src["ang"] + 0.1 * np.cos(t * 5.0)
+
+            ref = rinert.pose_update(
+                np.zeros((J, 3)), np.zeros((J, 3)),
+                np.tile(np.array([1.0, 0, 0, 0]), (J, 1)), np.zeros((J, 3)),
+                r_off[0].copy(), r_off[1].copy(), r_off[2].copy(),
+                r_off[3].copy(),
+                in_pos, in_vel, in_rot, in_ang, *r_trans, halflife, dt)
+            r_pose, r_off = list(ref[:4]), list(ref[4:])
+
+            pos, vel, rot, ang, off = ji.pose_update(
+                off, *(jnp.asarray(a) for a in
+                       (in_pos, in_vel, in_rot, in_ang)),
+                trans, halflife, dt)
+            for a, b, name in zip((pos, vel, rot, ang), r_pose,
+                                  ("pos", "vel", "rot", "ang")):
+                assert_close(a, b, atol=2e-4, rtol=1e-3)
+            for a, b in zip(off, r_off):
+                assert_close(a, b, atol=2e-4, rtol=1e-3)
+
 
 class TestFKVariants:
     def test_chain_matches_level(self):
