@@ -20,7 +20,10 @@ import numpy as np
 def _np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
-    return t.detach().cpu().numpy()
+    # copy: .numpy() ALIASES the torch storage, and jnp.asarray on the CPU
+    # backend can be zero-copy on top of that — converted params would then
+    # silently mutate whenever the live torch module trains in-place
+    return np.array(t.detach().cpu().numpy())
 
 
 def strip_module_prefix(state_dict: Dict) -> Dict:

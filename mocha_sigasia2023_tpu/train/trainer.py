@@ -42,28 +42,65 @@ class TrainState(NamedTuple):
 
 def make_optimizer(lr: float, weight_decay: float, lr_drop_epochs: int,
                    steps_per_epoch: int, grad_clip: float = 1.0,
-                   gamma: float = 0.1):
+                   gamma: float = 0.1, clip_gen_only: bool = True):
     """AdamW + global-norm clip + StepLR-style staircase decay
-    (trainer.py:37-40, 78, 98)."""
+    (trainer.py:37-40, 78, 98).
+
+    ``clip_gen_only`` matches the reference exactly: it clips only the
+    generator's gradients (``clip_grad_norm_(self.gen.parameters(), 1.0)``,
+    trainer.py:78) — the projector's gradients pass through unclipped."""
     schedule = optax.exponential_decay(
         init_value=lr,
         transition_steps=max(lr_drop_epochs * steps_per_epoch, 1),
         decay_rate=gamma,
         staircase=True,
     )
+    clip = optax.clip_by_global_norm(grad_clip)
+    if clip_gen_only:
+        clip = optax.masked(
+            clip,
+            lambda p: {"gen": jax.tree.map(lambda _: True, p["gen"]),
+                       "prj": jax.tree.map(lambda _: False, p["prj"])})
     return optax.chain(
-        optax.clip_by_global_norm(grad_clip),
+        clip,
         optax.adamw(schedule, weight_decay=weight_decay),
     )
 
 
+def _cast_tree(t, dtype):
+    return t if dtype is None else jax.tree.map(lambda a: a.astype(dtype), t)
+
+
+def _make_fwd(gp, gen_cfg, train, compute_dtype):
+    """Generator forward with optional low-precision compute: params and
+    inputs cast to ``compute_dtype`` (e.g. bf16) for the matmuls, outputs
+    cast back to f32 so the FK losses keep full precision.  Master params
+    and the optimizer stay f32 (gradients flow through the casts)."""
+    gp_c = _cast_tree(gp, compute_dtype)
+
+    def fwd(a, b, k, extract=False):
+        if compute_dtype is not None:
+            a = a.astype(compute_dtype)
+            b = b.astype(compute_dtype)
+        out = gen.forward(gp_c, gen_cfg, a, b, extract_feature=extract,
+                          key=k, train=train)
+        if extract:
+            return tuple(o.astype(jnp.float32) for o in out)
+        return out.astype(jnp.float32)
+
+    return fwd
+
+
 def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
                      batch_src, batch_cha, norm, parents, weights,
-                     rng, train: bool = True, loss_dtype=None):
+                     rng, train: bool = True, loss_dtype=None,
+                     compute_dtype=None):
     """The full generator objective (trainer.py:103-167).  Returns
     (total, metrics dict).  ``loss_dtype=float64`` computes the loss tails
     (FK reconstruction, Y->X conversion, NCE) in f64 — the workaround for
-    the v5e terminal compiler's f32 fusion miscompile (losses.py NOTE)."""
+    the v5e terminal compiler's f32 fusion miscompile (losses.py NOTE).
+    ``compute_dtype=bfloat16`` runs the generator forwards in bf16 with
+    f32 master weights and f32/f64 loss tails."""
     X_mean = norm["X_mean"][None, None]
     X_std = norm["X_std"][None, None]
     Y_mean = norm["Y_mean"][None, None]
@@ -77,13 +114,11 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
 
     ks = jax.random.split(rng, 8)
     gp = params["gen"]
+    fwd = _make_fwd(gp, gen_cfg, train, compute_dtype)
 
-    trans_Ytil = gen.forward(gp, gen_cfg, src_in, cha_in,
-                             key=ks[0], train=train)
-    recon_src = gen.forward(gp, gen_cfg, src_in, src_in,
-                            key=ks[1], train=train)
-    recon_cha = gen.forward(gp, gen_cfg, cha_in, cha_in,
-                            key=ks[2], train=train)
+    trans_Ytil = fwd(src_in, cha_in, ks[0])
+    recon_src = fwd(src_in, src_in, ks[1])
+    recon_cha = fwd(cha_in, cha_in, ks[2])
 
     trans_dn = trans_Ytil * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
     trans_X = convert_YtilToX(trans_dn, src_Y[:, :, 0:1], parents,
@@ -100,19 +135,15 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
     # PatchNCE context preservation (trainer.py:138-142).  With
     # num_patches=-1 ('all' mode) every token is a patch and the loss is
     # permutation-invariant, so the sample order is fixed under jit.
-    _, _, src_cnt, trans_cnt = gen.forward(
-        gp, gen_cfg, src_in, trans_in, extract_feature=True,
-        key=ks[3], train=train)
+    _, _, src_cnt, trans_cnt = fwd(src_in, trans_in, ks[3], extract=True)
     feat_k, patch_id = prj.apply_projector(params["prj"], prj_cfg, trans_cnt)
     feat_q, _ = prj.apply_projector(params["prj"], prj_cfg, src_cnt, patch_id)
     loss_nce, logits = patch_nce_loss(feat_q, feat_k,
                                       compute_dtype=loss_dtype)
     top1, top5 = contrastive_acc(logits)
 
-    cyc_src = gen.forward(gp, gen_cfg, trans_in, src_in,
-                          key=ks[4], train=train)
-    cyc_cha = gen.forward(gp, gen_cfg, cha_in, trans_in,
-                          key=ks[5], train=train)
+    cyc_src = fwd(trans_in, src_in, ks[4])
+    cyc_cha = fwd(cha_in, trans_in, ks[5])
     cyc_src_dn = cyc_src * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
     cyc_cha_dn = cyc_cha * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
     loss_cyc = 0.5 * (
@@ -135,7 +166,7 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
 
 
 def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
-                        ema_beta):
+                        ema_beta, train: bool = True, compute_dtype=None):
     """The training objective as SEPARATELY-JITTED small programs with
     explicit cotangent passing (mathematically identical gradients to the
     monolithic step).
@@ -167,8 +198,8 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
         return o * norm["Y_std"][None, None, 1:] + norm["Y_mean"][None, None, 1:]
 
     def trans_path(params, src_in, cha_in, src_root, norm, k):
-        o = gen.forward(params["gen"], gen_cfg, src_in, cha_in,
-                        key=k, train=True)
+        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype)
+        o = fwd(src_in, cha_in, k)
         tx_ = convert_YtilToX(denorm_y(o, norm), src_root, parents,
                               compute_dtype=loss_dtype)
         return norm_x(tx_, norm)
@@ -178,16 +209,16 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
         return trans_path(params, src_in, cha_in, src_root, norm, k)
 
     def _recon_one(params, a_in, gt_Y, norm, k):
-        o = gen.forward(params["gen"], gen_cfg, a_in, a_in, key=k, train=True)
+        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype)
+        o = fwd(a_in, a_in, k)
         return recon_criterion(denorm_y(o, norm), gt_Y, parents,
                                compute_dtype=loss_dtype)
 
     recon_one = jax.jit(jax.value_and_grad(_recon_one))
 
     def _nce(params, trans_in, src_in, norm, k):
-        _, _, src_cnt, trans_cnt = gen.forward(
-            params["gen"], gen_cfg, src_in, trans_in, extract_feature=True,
-            key=k, train=True)
+        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype)
+        _, _, src_cnt, trans_cnt = fwd(src_in, trans_in, k, extract=True)
         feat_k, pid = prj_mod.apply_projector(params["prj"], prj_cfg, trans_cnt)
         feat_q, _ = prj_mod.apply_projector(params["prj"], prj_cfg, src_cnt, pid)
         loss, logits = patch_nce_loss(feat_q, feat_k, compute_dtype=loss_dtype)
@@ -197,7 +228,8 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
         jax.value_and_grad(_nce, argnums=(0, 1), has_aux=True))
 
     def _cyc(params, a_in, b_in, gt_Y, norm, k):
-        o = gen.forward(params["gen"], gen_cfg, a_in, b_in, key=k, train=True)
+        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype)
+        o = fwd(a_in, b_in, k)
         return recon_criterion(denorm_y(o, norm), gt_Y, parents,
                                compute_dtype=loss_dtype)
 
@@ -308,6 +340,14 @@ class GeneratorTrainer:
         # cotangent routing (see make_split_step_fns) — default ON, the
         # monolithic step miscompiles on the current TPU terminal
         self.split_step = bool(config.get("split_step", True))
+        # dropout=False runs all forwards in eval mode (deterministic
+        # training / parity testing against the torch reference, whose
+        # hardcoded p=0.1 masks cannot be matched across frameworks)
+        self.train_forwards = bool(config.get("dropout", True))
+        # compute_dtype=bfloat16: forwards in bf16, f32 master weights +
+        # f32/f64 loss tails (bench.py --train --bf16 experiment)
+        cd = config.get("compute_dtype")
+        self.compute_dtype = jnp.dtype(cd) if cd else None
         self.gen_cfg = GeneratorConfig.from_dict(config["model"])
         self.prj_cfg = ProjectorConfig(
             mode="all",
@@ -344,7 +384,9 @@ class GeneratorTrainer:
         if self.split_step:
             self._train_step = make_split_step_fns(
                 self.gen_cfg, self.prj_cfg, self.parents, self.weights,
-                self.loss_dtype, self.tx, self.ema_beta)
+                self.loss_dtype, self.tx, self.ema_beta,
+                train=self.train_forwards,
+                compute_dtype=self.compute_dtype)
         else:
             self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
 
@@ -352,8 +394,9 @@ class GeneratorTrainer:
         def loss_fn(params):
             return compute_gen_loss(
                 params, self.gen_cfg, self.prj_cfg, batch_src, batch_cha,
-                norm, self.parents, self.weights, rng, train=True,
-                loss_dtype=self.loss_dtype)
+                norm, self.parents, self.weights, rng,
+                train=self.train_forwards, loss_dtype=self.loss_dtype,
+                compute_dtype=self.compute_dtype)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

@@ -139,10 +139,18 @@ class CVAETrainer:
         self.rng = np.random.RandomState(seed)
         self.key = jax.random.PRNGKey(seed)
 
-        # per-iteration LR x stepped exponential decay (:160, 287-288)
-        lr_schedule = optax.exponential_decay(
-            tc.lr, transition_steps=tc.lr_step_every,
-            decay_rate=tc.lr_gamma, staircase=True)
+        # LR decay cadence (train_CVAE.py:287-288): ExponentialLR(0.99)
+        # stepped at the END of iterations 0, 200, 400, ... — but optax
+        # counts optimizer UPDATES, of which each iteration performs
+        # rollout_steps-1.  Map update-count -> iteration -> number of
+        # scheduler steps taken before that iteration ran.
+        updates_per_iter = max(tc.rollout_steps - 1, 1)
+
+        def lr_schedule(count):
+            it = count // updates_per_iter
+            n_decays = jnp.where(it >= 1, (it - 1) // tc.lr_step_every + 1, 0)
+            return tc.lr * (tc.lr_gamma ** n_decays)
+
         self.tx = optax.adamw(lr_schedule, weight_decay=tc.weight_decay)
         self.params = jcvae.init_cvae(jax.random.PRNGKey(seed + 1), self.cfg)
         self.opt_state = self.tx.init(self.params)
@@ -210,7 +218,10 @@ class CVAETrainer:
         offsets = jnp.arange(1, tc.rollout_steps)
         (params, opt_state, _, _), metrics = jax.lax.scan(
             offset_step, (params, opt_state, condition0, key), offsets)
-        return params, opt_state, metrics.mean(axis=0)
+        # reference logging quirk kept verbatim: the per-iteration scalars
+        # divide the 9-offset sums by num_steps_per_rollout = 10, not 9
+        # (train_CVAE.py:266-269)
+        return params, opt_state, metrics.sum(axis=0) / tc.rollout_steps
 
     # ------------------------------------------------------------------
 
