@@ -188,6 +188,124 @@ def _stream_featurizer_jitted(cfg: gen.GeneratorConfig, nframes, order, names,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _batch_stream_featurizer_jitted(cfg: gen.GeneratorConfig, n_clips,
+                                    nframes, order, names, parents, window,
+                                    threshold, fps, chunk, compute_dtype):
+    from jax import lax
+
+    from ..data.preprocess import featurize_clip
+
+    parents_arr = np.asarray(parents)
+    bone_parents = np.concatenate([[-1], parents_arr + 1])
+    idx, pad = padded_window_indices(nframes, window, 1)
+    n_w = len(idx)
+    # flatten (clip, window-row) into indices over the (S*T)-stacked
+    # per-frame features so all clips' windows chunk together
+    flat_idx = (np.arange(n_clips)[:, None, None] * nframes
+                + idx[None]).reshape(n_clips * n_w, window).astype(np.int32)
+    flat_pad = np.broadcast_to(
+        pad[None], (n_clips, n_w, window)).reshape(n_clips * n_w, window)
+    total = n_clips * n_w
+    csize = min(chunk, total)
+    G = -(-total // csize)
+    pad_rows = G * csize - total
+    flat_idx = np.concatenate(
+        [flat_idx, np.repeat(flat_idx[-1:], pad_rows, axis=0)])
+    flat_pad = np.concatenate(
+        [flat_pad, np.repeat(flat_pad[-1:], pad_rows, axis=0)])
+    flat_idx = flat_idx.reshape(G, csize, window)
+    flat_pad = flat_pad.reshape(G, csize, window)
+
+    def fn(params, X_mean, X_std, rot_deg, pos_cm):
+        def one_clip(r, p):
+            out = featurize_clip(
+                r, p, order, list(names), parents_arr,
+                contact_velocity_threshold=threshold, fps=fps)
+            return {k: out[k] for k in _BSF_KEYS}
+
+        feats = jax.vmap(one_clip)(rot_deg, pos_cm)
+        flat = {k: feats[k].reshape((n_clips * nframes,)
+                                    + feats[k].shape[2:])
+                for k in _BSF_KEYS}
+
+        def do_chunk(c):
+            ci, cp = c
+            Ypos = gather_windows(flat["positions"], ci)
+            Yvel = gather_windows(flat["velocities"], ci, cp)
+            Yrot = gather_windows(flat["rotations"], ci)
+            Yang = gather_windows(flat["angular_velocities"], ci, cp)
+            X, Y, root = window_xy_features(Yrot, Ypos, Yvel, Yang,
+                                            bone_parents)
+            x_in = (X[:, :, 1:] - X_mean[None, None, 1:]) \
+                / X_std[None, None, 1:]
+            if compute_dtype is not None:
+                x_in = x_in.astype(compute_dtype)
+            encoded = gen.encode(params, cfg, x_in)
+            cnt = gen.content_feature(encoded)
+            return {
+                "encoded": encoded.astype(jnp.float32),
+                "cnt": cnt.astype(jnp.float32),
+                "pos_last": Y[:, -1, :, :3],
+                "rot_last": _rot_from_Y(Y[:, -1:])[:, 0],
+                "vel_last": Y[:, -1, :, 9:12],
+                "ang_last": Y[:, -1, :, 12:15],
+                "rvel_last": root[:, -1, :3],
+                "rang_last": root[:, -1, 3:],
+                "contact_last": flat["contacts"][ci[:, -1]].astype(
+                    jnp.float32),
+                "hips_speed_mean": jnp.mean(
+                    jnp.linalg.norm(Y[:, :, 1, 9:12], axis=-1), axis=1),
+            }
+
+        if G == 1:
+            out = do_chunk((jnp.asarray(flat_idx[0]),
+                            jnp.asarray(flat_pad[0])))
+        else:
+            out = lax.map(do_chunk, (jnp.asarray(flat_idx),
+                                     jnp.asarray(flat_pad)))
+            out = jax.tree.map(
+                lambda a: a.reshape((G * csize,) + a.shape[2:]), out)
+        out = jax.tree.map(
+            lambda a: a[:total].reshape((n_clips, n_w) + a.shape[1:]), out)
+        frame0 = {k: v[:, 0] for k, v in out.items()}
+        xs = {k: jnp.moveaxis(v[:, 1:], 0, 1) for k, v in out.items()}
+        return frame0, xs
+
+    return jax.jit(fn)
+
+
+_BSF_KEYS = ("positions", "velocities", "rotations", "angular_velocities",
+             "contacts")
+
+
+def batch_stream_features_device(clips, params, cfg: gen.GeneratorConfig,
+                                 norm: Dict[str, np.ndarray], *,
+                                 window: int = 60, chunk: int = 256,
+                                 compute_dtype=None):
+    """Featurize+encode MANY same-length, same-skeleton clips as ONE jitted
+    program emitting the (frame0, xs) pytrees make_batch_runner consumes.
+
+    This is the serving throughput path: the per-clip variant costs one
+    dispatch per clip plus ~20 host-side stacks, and on relay-attached
+    hosts every dispatch pays the tunnel RTT (~30 ms) — at 64 clips that
+    overhead exceeds the actual device compute.  Here the whole batch is
+    one dispatch; windows from all clips chunk together through the
+    encoder (``chunk`` windows per lax.map step bounds peak memory)."""
+    c0 = clips[0]
+    rot = jnp.asarray(np.stack([np.asarray(c["rotations"], np.float32)
+                                for c in clips]))
+    pos = jnp.asarray(np.stack([np.asarray(c["positions"], np.float32)
+                                for c in clips]))
+    fn = _batch_stream_featurizer_jitted(
+        cfg, len(clips), rot.shape[1], c0["order"], tuple(c0["names"]),
+        tuple(int(p) for p in c0["parents"]), int(window), 0.5, 60.0,
+        int(chunk),
+        None if compute_dtype is None else jnp.dtype(compute_dtype).name)
+    return fn(params, jnp.asarray(norm["X_mean"], jnp.float32),
+              jnp.asarray(norm["X_std"], jnp.float32), rot, pos)
+
+
 def clip_stream_features_device(bvh_data: Dict, params,
                                 cfg: gen.GeneratorConfig,
                                 norm: Dict[str, np.ndarray], *,

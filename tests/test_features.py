@@ -139,6 +139,27 @@ class TestClipStreamFeaturesDevice:
                 np.asarray(dev[k]), np.asarray(host[k]), atol=2e-4,
                 err_msg=k)
 
+    def test_batched_multi_clip_equals_per_clip(self, setup):
+        """batch_stream_features_device (one program for S clips, emitting
+        frame0/xs directly) must equal stacking per-clip results."""
+        from helpers import make_mocha_bvh_data
+
+        s = setup
+        clips = [make_mocha_bvh_data(T=90, seed=10 + i) for i in range(3)]
+        frame0, xs = rtf.batch_stream_features_device(
+            clips, s["params"], s["cfg"], s["norm"], chunk=64)
+
+        per = [rtf.clip_stream_features_device(c, s["params"], s["cfg"],
+                                               s["norm"])
+               for c in clips]
+        for k in frame0:
+            exp0 = np.stack([np.asarray(p[k][0]) for p in per])
+            expx = np.stack([np.asarray(p[k][1:]) for p in per], axis=1)
+            np.testing.assert_allclose(np.asarray(frame0[k]), exp0,
+                                       atol=1e-5, err_msg=k)
+            np.testing.assert_allclose(np.asarray(xs[k]), expx,
+                                       atol=1e-5, err_msg=k)
+
     def test_chunked_equals_unchunked(self, setup):
         """lax.map chunking (long-clip memory bound) must not change
         results or window counts."""
