@@ -88,6 +88,23 @@ def main():
                          "of the split-step workaround")
     ap.add_argument("--train-steps", type=int, default=10)
     ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--remat", action="store_true",
+                    help="with --train: jax.checkpoint the generator "
+                         "forwards (recompute-in-backward); needed for "
+                         "batch >= 256 on a 16 GB chip")
+    ap.add_argument("--loss-f32", action="store_true",
+                    help="with --train: compute the loss tails in f32 "
+                         "instead of the default f64 (config.yaml "
+                         "loss_dtype). f64 is software-emulated on TPU — "
+                         "this isolates its cost; check the printed "
+                         "loss_finite before trusting the mode on this "
+                         "terminal (the f64 tails are part of the "
+                         "miscompile workaround)")
+    ap.add_argument("--sync-h2d", action="store_true",
+                    help="with --train: ship each batch host->device "
+                         "synchronously inside the timed loop instead of "
+                         "pre-placing (the production pipeline prefetches; "
+                         "this measures the relay upload, not the step)")
     ap.add_argument("--attn", action="store_true",
                     help="A/B the Pallas fused attention vs the XLA einsum "
                          "path at decoder shapes")
@@ -531,6 +548,10 @@ def bench_train(args):
     if args.bf16:
         # bf16 forwards, f32 master weights + loss tails
         config["compute_dtype"] = "bfloat16"
+    if args.remat:
+        config["remat"] = True
+    if args.loss_f32:
+        config["loss_dtype"] = None
     trainer = GeneratorTrainer(config, steps_per_epoch=100)
 
     B, T, J = args.batch_size, 60, 25
@@ -552,14 +573,28 @@ def bench_train(args):
         "Y_std": np.ones((J, 15), np.float32),
     }
     batches = [make_batch(s) for s in range(4)]
+    if not args.sync_h2d:
+        # pre-place on device: the production input pipeline issues the
+        # sharded device_put ahead of the step (data.dataset.prefetch_batches
+        # with place=shard_batch), so the step never waits on H2D.  Without
+        # this the bench measures the relay's synchronous batch upload
+        # (~0.5 s/step at batch 128 here), not the training step — measured
+        # windows/s was FLAT in batch size, the signature of a transfer
+        # bound.  --sync-h2d restores the naive instrument.
+        from mocha_sigasia2023_tpu.parallel import shard_batch
+        batches = [shard_batch(trainer.mesh, b) for b in batches]
     key = jax.random.PRNGKey(0)
 
     # warmup/compile
+    tw = time.perf_counter()
     for i in range(2):
         key, sub = jax.random.split(key)
         m = trainer.train_step(batches[i % 2], batches[(i + 1) % 2],
                                norm, sub)
         total = float(m["gen/loss_total"])  # host fetch = sync barrier
+        print(f"warmup step {i}: {time.perf_counter() - tw:.1f}s "
+              f"loss={total:.4f}", file=sys.stderr)
+        tw = time.perf_counter()
     assert np.isfinite(total), (
         "training step produced non-finite loss (v5e terminal XLA "
         "miscompile? see train/trainer.py make_split_step_fns)")
@@ -578,6 +613,10 @@ def bench_train(args):
     mode = "monolithic" if args.monolithic else "split"
     if args.bf16:
         mode += "_bf16"
+    if args.remat:
+        mode += "_remat"
+    if args.loss_f32:
+        mode += "_lossf32"
     result = {
         "metric": f"train_steps_per_sec_{mode}",
         "value": round(steps_per_sec, 3),

@@ -71,14 +71,18 @@ def _cast_tree(t, dtype):
     return t if dtype is None else jax.tree.map(lambda a: a.astype(dtype), t)
 
 
-def _make_fwd(gp, gen_cfg, train, compute_dtype):
+def _make_fwd(gp, gen_cfg, train, compute_dtype, remat=False):
     """Generator forward with optional low-precision compute: params and
     inputs cast to ``compute_dtype`` (e.g. bf16) for the matmuls, outputs
     cast back to f32 so the FK losses keep full precision.  Master params
-    and the optimizer stay f32 (gradients flow through the casts)."""
+    and the optimizer stay f32 (gradients flow through the casts).
+
+    ``remat=True`` wraps the forward in jax.checkpoint: the backward
+    recomputes activations instead of storing them (~1.3x FLOPs for a
+    ~10x activation-memory cut — batch 256 OOMs at 52 GB without it)."""
     gp_c = _cast_tree(gp, compute_dtype)
 
-    def fwd(a, b, k, extract=False):
+    def base(a, b, k, extract):
         if compute_dtype is not None:
             a = a.astype(compute_dtype)
             b = b.astype(compute_dtype)
@@ -88,13 +92,23 @@ def _make_fwd(gp, gen_cfg, train, compute_dtype):
             return tuple(o.astype(jnp.float32) for o in out)
         return out.astype(jnp.float32)
 
+    if remat:
+        plain = jax.checkpoint(lambda a, b, k: base(a, b, k, False))
+        ext = jax.checkpoint(lambda a, b, k: base(a, b, k, True))
+
+        def fwd(a, b, k, extract=False):
+            return ext(a, b, k) if extract else plain(a, b, k)
+    else:
+        def fwd(a, b, k, extract=False):
+            return base(a, b, k, extract)
+
     return fwd
 
 
 def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
                      batch_src, batch_cha, norm, parents, weights,
                      rng, train: bool = True, loss_dtype=None,
-                     compute_dtype=None):
+                     compute_dtype=None, remat=False):
     """The full generator objective (trainer.py:103-167).  Returns
     (total, metrics dict).  ``loss_dtype=float64`` computes the loss tails
     (FK reconstruction, Y->X conversion, NCE) in f64 — the workaround for
@@ -114,7 +128,7 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
 
     ks = jax.random.split(rng, 8)
     gp = params["gen"]
-    fwd = _make_fwd(gp, gen_cfg, train, compute_dtype)
+    fwd = _make_fwd(gp, gen_cfg, train, compute_dtype, remat=remat)
 
     trans_Ytil = fwd(src_in, cha_in, ks[0])
     recon_src = fwd(src_in, src_in, ks[1])
@@ -166,7 +180,8 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
 
 
 def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
-                        ema_beta, train: bool = True, compute_dtype=None):
+                        ema_beta, train: bool = True, compute_dtype=None,
+                        remat=False):
     """The training objective as SEPARATELY-JITTED small programs with
     explicit cotangent passing (mathematically identical gradients to the
     monolithic step).
@@ -198,7 +213,8 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
         return o * norm["Y_std"][None, None, 1:] + norm["Y_mean"][None, None, 1:]
 
     def trans_path(params, src_in, cha_in, src_root, norm, k):
-        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype)
+        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype,
+                        remat=remat)
         o = fwd(src_in, cha_in, k)
         tx_ = convert_YtilToX(denorm_y(o, norm), src_root, parents,
                               compute_dtype=loss_dtype)
@@ -209,7 +225,8 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
         return trans_path(params, src_in, cha_in, src_root, norm, k)
 
     def _recon_one(params, a_in, gt_Y, norm, k):
-        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype)
+        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype,
+                        remat=remat)
         o = fwd(a_in, a_in, k)
         return recon_criterion(denorm_y(o, norm), gt_Y, parents,
                                compute_dtype=loss_dtype)
@@ -217,7 +234,8 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
     recon_one = jax.jit(jax.value_and_grad(_recon_one))
 
     def _nce(params, trans_in, src_in, norm, k):
-        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype)
+        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype,
+                        remat=remat)
         _, _, src_cnt, trans_cnt = fwd(src_in, trans_in, k, extract=True)
         feat_k, pid = prj_mod.apply_projector(params["prj"], prj_cfg, trans_cnt)
         feat_q, _ = prj_mod.apply_projector(params["prj"], prj_cfg, src_cnt, pid)
@@ -228,7 +246,8 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
         jax.value_and_grad(_nce, argnums=(0, 1), has_aux=True))
 
     def _cyc(params, a_in, b_in, gt_Y, norm, k):
-        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype)
+        fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype,
+                        remat=remat)
         o = fwd(a_in, b_in, k)
         return recon_criterion(denorm_y(o, norm), gt_Y, parents,
                                compute_dtype=loss_dtype)
@@ -348,6 +367,10 @@ class GeneratorTrainer:
         # f32/f64 loss tails (bench.py --train --bf16 experiment)
         cd = config.get("compute_dtype")
         self.compute_dtype = jnp.dtype(cd) if cd else None
+        # remat=True: recompute forward activations in the backward
+        # (jax.checkpoint) — trades ~1.3x FLOPs for ~10x activation memory;
+        # required for batch >= 256 on a 16 GB chip (52 GB without)
+        self.remat = bool(config.get("remat", False))
         self.gen_cfg = GeneratorConfig.from_dict(config["model"])
         self.prj_cfg = ProjectorConfig(
             mode="all",
@@ -386,7 +409,7 @@ class GeneratorTrainer:
                 self.gen_cfg, self.prj_cfg, self.parents, self.weights,
                 self.loss_dtype, self.tx, self.ema_beta,
                 train=self.train_forwards,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype, remat=self.remat)
         else:
             self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
 
@@ -396,7 +419,7 @@ class GeneratorTrainer:
                 params, self.gen_cfg, self.prj_cfg, batch_src, batch_cha,
                 norm, self.parents, self.weights, rng,
                 train=self.train_forwards, loss_dtype=self.loss_dtype,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype, remat=self.remat)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
