@@ -100,6 +100,12 @@ def main():
                          "loss_finite before trusting the mode on this "
                          "terminal (the f64 tails are part of the "
                          "miscompile workaround)")
+    ap.add_argument("--tail-barrier", action="store_true",
+                    help="with --train: optimization_barrier between the "
+                         "generator forwards and the loss tails — blocks "
+                         "the fusion the v5e-terminal XLA miscompiles; "
+                         "combine with --loss-f32 to try full-speed f32 "
+                         "tails")
     ap.add_argument("--sync-h2d", action="store_true",
                     help="with --train: ship each batch host->device "
                          "synchronously inside the timed loop instead of "
@@ -552,6 +558,8 @@ def bench_train(args):
         config["remat"] = True
     if args.loss_f32:
         config["loss_dtype"] = None
+    if args.tail_barrier:
+        config["tail_barrier"] = True
     trainer = GeneratorTrainer(config, steps_per_epoch=100)
 
     B, T, J = args.batch_size, 60, 25
@@ -617,6 +625,8 @@ def bench_train(args):
         mode += "_remat"
     if args.loss_f32:
         mode += "_lossf32"
+    if args.tail_barrier:
+        mode += "_bar"
     result = {
         "metric": f"train_steps_per_sec_{mode}",
         "value": round(steps_per_sec, 3),

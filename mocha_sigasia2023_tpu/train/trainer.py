@@ -105,10 +105,20 @@ def _make_fwd(gp, gen_cfg, train, compute_dtype, remat=False):
     return fwd
 
 
+def _bar(x, enabled):
+    """``tail_barrier``: jax.lax.optimization_barrier between the generator
+    forward and the loss tail.  The v5e-terminal XLA NaNs when it fuses the
+    forward's backward with the FK-loss backward (see make_split_step_fns);
+    the barrier forbids exactly that cross-fusion (its transpose barriers
+    the cotangents too), letting the tails run in plain f32 instead of the
+    emulated-f64 workaround.  Identity on values and gradients."""
+    return jax.lax.optimization_barrier(x) if enabled else x
+
+
 def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
                      batch_src, batch_cha, norm, parents, weights,
                      rng, train: bool = True, loss_dtype=None,
-                     compute_dtype=None, remat=False):
+                     compute_dtype=None, remat=False, tail_barrier=False):
     """The full generator objective (trainer.py:103-167).  Returns
     (total, metrics dict).  ``loss_dtype=float64`` computes the loss tails
     (FK reconstruction, Y->X conversion, NCE) in f64 — the workaround for
@@ -130,9 +140,9 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
     gp = params["gen"]
     fwd = _make_fwd(gp, gen_cfg, train, compute_dtype, remat=remat)
 
-    trans_Ytil = fwd(src_in, cha_in, ks[0])
-    recon_src = fwd(src_in, src_in, ks[1])
-    recon_cha = fwd(cha_in, cha_in, ks[2])
+    trans_Ytil = _bar(fwd(src_in, cha_in, ks[0]), tail_barrier)
+    recon_src = _bar(fwd(src_in, src_in, ks[1]), tail_barrier)
+    recon_cha = _bar(fwd(cha_in, cha_in, ks[2]), tail_barrier)
 
     trans_dn = trans_Ytil * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
     trans_X = convert_YtilToX(trans_dn, src_Y[:, :, 0:1], parents,
@@ -149,15 +159,16 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
     # PatchNCE context preservation (trainer.py:138-142).  With
     # num_patches=-1 ('all' mode) every token is a patch and the loss is
     # permutation-invariant, so the sample order is fixed under jit.
-    _, _, src_cnt, trans_cnt = fwd(src_in, trans_in, ks[3], extract=True)
+    _, _, src_cnt, trans_cnt = _bar(
+        fwd(src_in, trans_in, ks[3], extract=True), tail_barrier)
     feat_k, patch_id = prj.apply_projector(params["prj"], prj_cfg, trans_cnt)
     feat_q, _ = prj.apply_projector(params["prj"], prj_cfg, src_cnt, patch_id)
     loss_nce, logits = patch_nce_loss(feat_q, feat_k,
                                       compute_dtype=loss_dtype)
     top1, top5 = contrastive_acc(logits)
 
-    cyc_src = fwd(trans_in, src_in, ks[4])
-    cyc_cha = fwd(cha_in, trans_in, ks[5])
+    cyc_src = _bar(fwd(trans_in, src_in, ks[4]), tail_barrier)
+    cyc_cha = _bar(fwd(cha_in, trans_in, ks[5]), tail_barrier)
     cyc_src_dn = cyc_src * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
     cyc_cha_dn = cyc_cha * Y_std[:, :, 1:] + Y_mean[:, :, 1:]
     loss_cyc = 0.5 * (
@@ -181,7 +192,7 @@ def compute_gen_loss(params, gen_cfg: GeneratorConfig, prj_cfg: ProjectorConfig,
 
 def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
                         ema_beta, train: bool = True, compute_dtype=None,
-                        remat=False):
+                        remat=False, tail_barrier=False):
     """The training objective as SEPARATELY-JITTED small programs with
     explicit cotangent passing (mathematically identical gradients to the
     monolithic step).
@@ -215,7 +226,7 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
     def trans_path(params, src_in, cha_in, src_root, norm, k):
         fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype,
                         remat=remat)
-        o = fwd(src_in, cha_in, k)
+        o = _bar(fwd(src_in, cha_in, k), tail_barrier)
         tx_ = convert_YtilToX(denorm_y(o, norm), src_root, parents,
                               compute_dtype=loss_dtype)
         return norm_x(tx_, norm)
@@ -227,7 +238,7 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
     def _recon_one(params, a_in, gt_Y, norm, k):
         fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype,
                         remat=remat)
-        o = fwd(a_in, a_in, k)
+        o = _bar(fwd(a_in, a_in, k), tail_barrier)
         return recon_criterion(denorm_y(o, norm), gt_Y, parents,
                                compute_dtype=loss_dtype)
 
@@ -236,7 +247,8 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
     def _nce(params, trans_in, src_in, norm, k):
         fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype,
                         remat=remat)
-        _, _, src_cnt, trans_cnt = fwd(src_in, trans_in, k, extract=True)
+        _, _, src_cnt, trans_cnt = _bar(
+            fwd(src_in, trans_in, k, extract=True), tail_barrier)
         feat_k, pid = prj_mod.apply_projector(params["prj"], prj_cfg, trans_cnt)
         feat_q, _ = prj_mod.apply_projector(params["prj"], prj_cfg, src_cnt, pid)
         loss, logits = patch_nce_loss(feat_q, feat_k, compute_dtype=loss_dtype)
@@ -248,7 +260,7 @@ def make_split_step_fns(gen_cfg, prj_cfg, parents, weights, loss_dtype, tx,
     def _cyc(params, a_in, b_in, gt_Y, norm, k):
         fwd = _make_fwd(params["gen"], gen_cfg, train, compute_dtype,
                         remat=remat)
-        o = fwd(a_in, b_in, k)
+        o = _bar(fwd(a_in, b_in, k), tail_barrier)
         return recon_criterion(denorm_y(o, norm), gt_Y, parents,
                                compute_dtype=loss_dtype)
 
@@ -371,6 +383,10 @@ class GeneratorTrainer:
         # (jax.checkpoint) — trades ~1.3x FLOPs for ~10x activation memory;
         # required for batch >= 256 on a 16 GB chip (52 GB without)
         self.remat = bool(config.get("remat", False))
+        # tail_barrier=True: optimization_barrier between forward and loss
+        # tail — blocks the fusion the v5e-terminal XLA miscompiles, so the
+        # tails can run f32 (loss_dtype: null) at full speed; see _bar
+        self.tail_barrier = bool(config.get("tail_barrier", False))
         self.gen_cfg = GeneratorConfig.from_dict(config["model"])
         self.prj_cfg = ProjectorConfig(
             mode="all",
@@ -409,7 +425,8 @@ class GeneratorTrainer:
                 self.gen_cfg, self.prj_cfg, self.parents, self.weights,
                 self.loss_dtype, self.tx, self.ema_beta,
                 train=self.train_forwards,
-                compute_dtype=self.compute_dtype, remat=self.remat)
+                compute_dtype=self.compute_dtype, remat=self.remat,
+                tail_barrier=self.tail_barrier)
         else:
             self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
 
@@ -419,7 +436,8 @@ class GeneratorTrainer:
                 params, self.gen_cfg, self.prj_cfg, batch_src, batch_cha,
                 norm, self.parents, self.weights, rng,
                 train=self.train_forwards, loss_dtype=self.loss_dtype,
-                compute_dtype=self.compute_dtype, remat=self.remat)
+                compute_dtype=self.compute_dtype, remat=self.remat,
+                tail_barrier=self.tail_barrier)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

@@ -24,6 +24,7 @@ the axon relay):
     mono_train         @ default      -> NAN   <- the pinned miscompile
     mono_train         @ no-algsimp   -> NAN   (algsimp is NOT the culprit)
     mono_train         @ opt-level-0  -> NAN   (survives minimum opt level)
+    mono_train_barrier @ default      -> FINITE  <- the FIX
     fk_einsum_grad     @ all flags    -> FINITE
     delta5d_grad       @ all flags    -> FINITE
 
@@ -31,7 +32,15 @@ i.e. the monolithic-step NaN reproduces deterministically from the real
 trainer but needs the LARGE fused program — the two extracted micro
 patterns are individually clean on this toolchain, and neither disabling
 the algebraic simplifier nor dropping the backend optimization level
-rescues the monolith.  The split-step default stays.
+rescues the monolith.  The targeted fix that DOES work is
+``tail_barrier: true`` (train/trainer.py ``_bar``): one
+jax.lax.optimization_barrier between each generator forward and its loss
+tail forbids exactly the forward-backward x FK-loss-backward cross-fusion
+that miscompiles, while leaving every other fusion free — the monolithic
+step then runs finite with plain-f32 tails at full speed
+(bench.py --train --monolithic --loss-f32 --tail-barrier; 40-step finite,
+~3x the split-step+f64 workaround).  split_step/f64 tails remain as the
+fallback if a future toolchain defeats the barrier.
 
 Usage:
   python scripts/xla_repro.py              # all cases x flag sets (subprocesses)
@@ -51,7 +60,8 @@ import sys
 # repo root on the path: this file lives in <repo>/scripts/
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CASES = ("mono_train", "fk_einsum_grad", "delta5d_grad")
+CASES = ("mono_train", "mono_train_barrier", "fk_einsum_grad",
+         "delta5d_grad")
 FLAG_SETS = {
     "default": "",
     # bisect attempt 1: skip the algebraic-simplifier pass family (the
@@ -68,9 +78,11 @@ def run_case(case: str) -> str:
     import jax
     import jax.numpy as jnp
 
-    if case == "mono_train":
+    if case in ("mono_train", "mono_train_barrier"):
         # the real monolithic training step at reduced scale — the primary
-        # reproducer (bench.py --train --monolithic fails the same way)
+        # reproducer (bench.py --train --monolithic fails the same way).
+        # The _barrier variant adds tail_barrier: true (the fix) and must
+        # print FINITE wherever plain mono_train prints NAN.
         from mocha_sigasia2023_tpu.train.trainer import GeneratorTrainer
 
         config = {
@@ -96,6 +108,7 @@ def run_case(case: str) -> str:
             "lr_gen": 1e-4, "weight_decay_gen": 1e-4, "lr_drop": 100,
             "rec_w": 1, "nce_w": 0.1, "cyc_w": 1,
             "split_step": False,  # <- the monolithic program under test
+            "tail_barrier": case == "mono_train_barrier",
         }
         trainer = GeneratorTrainer(config, steps_per_epoch=10)
         r = np.random.RandomState(0)

@@ -249,6 +249,36 @@ class TestGeneratorTrainer:
         for a, b in zip(flat0, flat1):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * gscale)
 
+    def test_tail_barrier_step_equals_plain(self, tiny_dataset):
+        """``tail_barrier: true`` (jax.lax.optimization_barrier between the
+        generator forwards and the loss tails — the fusion fence that lets
+        the tails run f32 on the miscompiling v5e terminal, bench.py
+        --train --tail-barrier) is the identity on values and gradients:
+        it must match the plain split-step to fp-reassociation noise."""
+        norm = {k: jnp.asarray(v) for k, v in tiny_dataset.norm.items()}
+        batches = list(iterate_batches(tiny_dataset, 8, shuffle=True, seed=0))
+        bs = {k: jnp.asarray(v) for k, v in batches[0].items()}
+        bc = {k: jnp.asarray(v) for k, v in batches[1].items()}
+        rng = jax.random.PRNGKey(7)
+
+        t0 = GeneratorTrainer(dict(SMALL_CONFIG, split_step=True),
+                              steps_per_epoch=2)
+        t1 = GeneratorTrainer(dict(SMALL_CONFIG, split_step=True,
+                                   tail_barrier=True), steps_per_epoch=2)
+        assert t1.tail_barrier and not t0.tail_barrier
+        params = jax.tree.map(jnp.asarray,
+                              jax.tree.map(np.asarray, t0.state.params))
+
+        g0, l0 = t0._train_step.compute_grads(params, bs, bc, norm, rng)
+        g1, l1 = t1._train_step.compute_grads(params, bs, bc, norm, rng)
+
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-5)
+        flat0 = jax.tree.leaves(jax.tree.map(np.asarray, g0))
+        flat1 = jax.tree.leaves(jax.tree.map(np.asarray, g1))
+        gscale = max(float(np.abs(g).max()) for g in flat0)
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * gscale)
+
     def test_trajectory_matches_torch_reference(self, tiny_dataset, tmp_path):
         """Composed training dynamics vs the reference: build the torch
         Trainer (trainer.py:19-101) and GeneratorTrainer from the SAME
