@@ -84,8 +84,18 @@ def main():
                     help="generator training steps/sec at reference scale "
                          "(batch 64, full model)")
     ap.add_argument("--monolithic", action="store_true",
-                    help="with --train: use the single-program step instead "
-                         "of the split-step workaround")
+                    help="with --train: force the single-program step "
+                         "(the shipped config already runs it; kept for "
+                         "compat with r2 invocations)")
+    ap.add_argument("--split-step", action="store_true",
+                    help="with --train: the heavy fallback mode — 7 "
+                         "separately-jitted programs + f64 loss tails "
+                         "(pre-tail-barrier default, 2.9x slower)")
+    ap.add_argument("--no-tail-barrier", action="store_true",
+                    help="with --train: drop the forward/loss-tail "
+                         "optimization_barrier — on the current v5e "
+                         "terminal the fully fused step NaNs (the "
+                         "miscompile probe)")
     ap.add_argument("--train-steps", type=int, default=10)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--remat", action="store_true",
@@ -536,8 +546,9 @@ def bench_attn(args):
 def bench_train(args):
     """Generator-trainer throughput at reference scale (batch 64, full
     model, 6 forwards + FK losses per step — configs/config.yaml:49-63).
-    Reports steps/s and windows/s for the split-step (default) or
-    monolithic (--monolithic) mode."""
+    Default = the shipped config (tail-barrier monolithic step, f32
+    tails); --split-step measures the heavy fallback; --no-tail-barrier
+    probes the raw fused step (NaNs on the current terminal)."""
     import os
     import time
 
@@ -550,7 +561,15 @@ def bench_train(args):
     config = get_config(os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "mocha_sigasia2023_tpu", "configs", "config.yaml"))
-    config["split_step"] = not args.monolithic
+    # The no-flag run measures the SHIPPED config (tail-barrier monolithic
+    # step, f32 tails).  Flags are explicit overrides:
+    if args.split_step:
+        # the heavy fallback combo documented in README Environment notes
+        config["split_step"] = True
+        config["tail_barrier"] = False
+        config["loss_dtype"] = "float64"
+    if args.monolithic:
+        config["split_step"] = False
     if args.bf16:
         # bf16 forwards, f32 master weights + loss tails
         config["compute_dtype"] = "bfloat16"
@@ -560,6 +579,8 @@ def bench_train(args):
         config["loss_dtype"] = None
     if args.tail_barrier:
         config["tail_barrier"] = True
+    if args.no_tail_barrier:
+        config["tail_barrier"] = False
     trainer = GeneratorTrainer(config, steps_per_epoch=100)
 
     B, T, J = args.batch_size, 60, 25
@@ -618,15 +639,17 @@ def bench_train(args):
     assert np.isfinite(total)
 
     steps_per_sec = args.train_steps / elapsed
-    mode = "monolithic" if args.monolithic else "split"
+    # label from the RESOLVED config, not the flags
+    mode = "split" if config.get("split_step") else "monolithic"
+    if config.get("tail_barrier"):
+        mode += "_bar"
     if args.bf16:
         mode += "_bf16"
     if args.remat:
         mode += "_remat"
-    if args.loss_f32:
-        mode += "_lossf32"
-    if args.tail_barrier:
-        mode += "_bar"
+    ld = config.get("loss_dtype")
+    if ld:
+        mode += f"_loss{str(ld).replace('float', 'f')}"
     result = {
         "metric": f"train_steps_per_sec_{mode}",
         "value": round(steps_per_sec, 3),
