@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from . import graph
 from .layers import (
     conv1x1, init_conv2d, init_stgcn_block, init_transformer,
-    leaky_relu, mean_variance_norm, stgcn_block, temporal_conv, transformer,
+    leaky_relu, mean_variance_norm, stgcn_block, temporal_conv,
+    transformer,
 )
 
 
@@ -134,6 +135,30 @@ def init_generator(key, cfg: GeneratorConfig, dtype=jnp.float32) -> Dict:
     }
 
 
+def _tconv_meanpool(p, x, tps: int) -> jnp.ndarray:
+    """Reflect-padded temporal conv (kernel k) followed by the
+    kernel==stride==tps mean-pool, folded into ONE stride-tps conv:
+    out[p] = mean_i conv(x)[tps*p+i] = sum_m W'[m] x_pad[tps*p+m] with
+    W'[m] = (1/tps) * sum_{i in [0,tps)} W[m-i].  Exact up to f32
+    reassociation; requires t % tps == 0 and an odd kernel (the reference
+    shapes: t=60, k=5, tps=4)."""
+    w = p["weight"]                     # (O, I, k, 1)
+    k = int(w.shape[2])
+    pad = (k - 1) // 2
+    F = np.zeros((k + tps - 1, k), np.float32)
+    for i in range(tps):
+        F[np.arange(k) + i, np.arange(k)] += 1.0 / tps
+    w2 = jnp.einsum("oikv,mk->oimv", w, jnp.asarray(F, w.dtype))
+    x = x.astype(w.dtype)
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (0, 0)), mode="reflect")
+    y = jax.lax.conv_general_dilated(
+        x, w2, window_strides=(tps, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if "bias" in p:
+        y = y + p["bias"][None, :, None, None]
+    return y
+
+
 def embed_tokens(params: Dict, cfg: GeneratorConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Motion window (B, T, V, C) -> tokens (B, num_temp*nbody, dim)
     (model.py:42-50 mot_embedding)."""
@@ -142,11 +167,24 @@ def embed_tokens(params: Dict, cfg: GeneratorConfig, x: jnp.ndarray) -> jnp.ndar
 
     h = x.transpose(0, 3, 1, 2)  # b t v c -> b c t v
     h = conv1x1(params["embed"]["conv_in"], h)
-    h = stgcn_block(params["embed"]["joint"], h, A_j)
-    h = jnp.einsum("nctv,vw->nctw", h, pool.astype(h.dtype))
-    # temporal average pool, kernel == stride == tps
-    b, c, t, v = h.shape
-    h = h.reshape(b, c, t // tps, tps, v).mean(axis=3)
+    # Joint ST-GCN block (lrelu -> graph conv -> temporal conv, then
+    # joint->bodypart pool and window mean-pool) with two exact folds:
+    #   * the pool columns average to 1 and the temporal conv is spatially
+    #     pointwise, so pool(tconv(g)) == tconv(pool(g)); the pool folds
+    #     into the graph contraction (A_j @ pool, V 24 -> 6 before the
+    #     expensive tconv — 4x fewer tconv FLOPs), and
+    #   * tconv(k) followed by the kernel==stride==tps mean-pool is one
+    #     stride-tps conv with the averaged kernel (another ~2.5x).
+    # Same math as the reference order (model.py:42-50) up to f32
+    # reassociation.
+    h = leaky_relu(h, 0.2)
+    y = conv1x1(params["embed"]["joint"]["gcn"], h)
+    n, kc, t, v = y.shape
+    K = A_j.shape[0]
+    AP = jnp.einsum("kvw,wu->kvu", A_j, pool)
+    h = jnp.einsum("nkctv,kvu->nctu", y.reshape(n, K, kc // K, t, v),
+                   AP.astype(y.dtype))
+    h = _tconv_meanpool(params["embed"]["joint"]["tcn"], h, tps)
     h = stgcn_block(params["embed"]["body"], h, A_b)
     # b c t v -> b (t v) c
     b, c, t, v = h.shape
@@ -170,36 +208,65 @@ def content_feature(encoded: jnp.ndarray) -> jnp.ndarray:
     return mean_variance_norm(encoded)
 
 
-def _decode_trunk(params: Dict, cfg: GeneratorConfig, src_encoded,
-                  cha_encoded, *, key=None, train=False):
-    """Shared decoder trunk: transformer -> body ST-GCN -> nearest-neighbor
-    temporal upsample -> unpool to joints.  Returns (B, C, T, njoints) —
-    the input to the joint-level head, used by both decode (full head) and
-    decode_stream (sliced head)."""
-    A_j, A_b, _, unpool = _constants(cfg)
+def _decode_trunk_compact(params: Dict, cfg: GeneratorConfig, src_encoded,
+                          cha_encoded, *, key=None, train=False):
+    """Shared decoder trunk up to the body ST-GCN, BEFORE the
+    nearest-neighbor temporal upsample / unpool duplications.  Returns
+    (B, C, num_temp, nbody)."""
+    A_b = _constants(cfg)[1]
     tok = transformer(
         params["decoder"], src_encoded, cha_encoded, heads=cfg.decoder_heads,
         adain_on=True, drop=cfg.dropout, key=key, train=train)
     # b (t v) c -> b c t v
     b, s, c = tok.shape
     h = tok.reshape(b, cfg.num_temp, cfg.nbody, c).transpose(0, 3, 1, 2)
-    h = stgcn_block(params["head"]["body"], h, A_b)
+    return stgcn_block(params["head"]["body"], h, A_b)
+
+
+def _expand_trunk(h, cfg: GeneratorConfig):
+    """Temporal NN-upsample (x tps) + unpool to joints: the duplication
+    maps the reference applies between the body and joint head blocks
+    (model.py:71-80).  (B, C, num_temp, nbody) -> (B, C, T, njoints)."""
+    unpool = _constants(cfg)[3]
     h = jnp.repeat(h, cfg.temporal_patch_size, axis=2)
     return jnp.einsum("nctv,vw->nctw", h, unpool.astype(h.dtype))
+
+
+def _decode_trunk(params: Dict, cfg: GeneratorConfig, src_encoded,
+                  cha_encoded, *, key=None, train=False):
+    """Trunk in the reference layout (B, C, T, njoints) — kept for
+    decode_stream's sliced head."""
+    return _expand_trunk(
+        _decode_trunk_compact(params, cfg, src_encoded, cha_encoded,
+                              key=key, train=train), cfg)
 
 
 def decode(params: Dict, cfg: GeneratorConfig, src_encoded: jnp.ndarray,
            cha_encoded: jnp.ndarray, *, key=None, train=False) -> jnp.ndarray:
     """Decoder transformer + inverse embedding -> motion (model.py:100-106,
-    71-80)."""
-    A_j, _, _, _ = _constants(cfg)
+    71-80).
+
+    The joint head block is evaluated with its lrelu + 1x1 graph conv
+    HOISTED before the trunk's time-repeat/unpool (both pure duplication
+    maps, so elementwise ops and channel mixes commute with them exactly),
+    and the unpool folded into the adjacency contraction — ~6x fewer head
+    FLOPs than the literal reference order, identical math."""
+    A_j, _, _, unpool = _constants(cfg)
     if key is not None:
         key, kd = jax.random.split(key)
     else:
         kd = None
-    h = _decode_trunk(params, cfg, src_encoded, cha_encoded,
-                      key=kd, train=train)
-    h = stgcn_block(params["head"]["joint"], h, A_j)
+    h = _decode_trunk_compact(params, cfg, src_encoded, cha_encoded,
+                              key=kd, train=train)
+    p_j = params["head"]["joint"]
+    g = conv1x1(p_j["gcn"], leaky_relu(h, 0.2))   # (B, K*C', num_temp, 6)
+    n, kc, t, v = g.shape
+    K = A_j.shape[0]
+    UA = jnp.einsum("vw,kwu->kvu", unpool, A_j)    # (K, nbody, njoints)
+    h = jnp.einsum("nkctv,kvu->nctu", g.reshape(n, K, kc // K, t, v),
+                   UA.astype(g.dtype))             # (B, C', num_temp, 24)
+    h = jnp.repeat(h, cfg.temporal_patch_size, axis=2)
+    h = temporal_conv(p_j["tcn"], h)
     h = leaky_relu(h, 0.2)
     h = conv1x1(params["head"]["conv_out"], h)
     return h.transpose(0, 2, 3, 1)  # b c t v -> b t v c
