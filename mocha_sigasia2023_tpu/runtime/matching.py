@@ -34,6 +34,48 @@ def nn_index(query_flat: jnp.ndarray, database_flat: jnp.ndarray,
     return jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
 
+def nn_index_grouped(query_flat: jnp.ndarray, db_stack_flat: jnp.ndarray,
+                     db_sq_stack: jnp.ndarray, group_ids: jnp.ndarray,
+                     group_size: int) -> jnp.ndarray:
+    """Exact top-1 neighbor of each query against ONLY its group's database
+    block, at near-C-independent cost.
+
+    query_flat: (..., S, D) queries for S streams; db_stack_flat: (C, M, D)
+    per-character databases; db_sq_stack: (C, M) |x|^2 norms (+inf pad
+    rows); group_ids: (S,) int32 character of each stream; group_size:
+    static G >= max per-character stream count (callers pass
+    ``bincount(group_ids).max()``).
+
+    The masked full-stack form (one (..., S) x (C*M) matmul with other
+    characters' rows masked to +inf) pays C*M*D FLOPs per query.  Here
+    each stream's query is scattered into its character's row block of a
+    (C, G, D) buffer (zero padding for uneven groups) and matched with one
+    grouped einsum '...cgd,cmd->...cgm': C*G*M*D total, which is S*M*D —
+    the C=1 cost — for an even distribution, and never worse than the
+    masked form (G <= S).
+
+    Returns GLOBAL stacked indices (character*M + row), shape (..., S).
+    """
+    C, M, D = db_stack_flat.shape
+    S = group_ids.shape[0]
+    G = int(group_size)
+    # rank of each stream within its character group (0-based, stable)
+    onehot = (group_ids[:, None] == jnp.arange(C, dtype=group_ids.dtype))
+    rank = (jnp.cumsum(onehot.astype(jnp.int32), axis=0)
+            [jnp.arange(S), group_ids] - 1)
+    slot = group_ids.astype(jnp.int32) * G + rank               # (S,)
+    lead = query_flat.shape[:-2]
+    padded = jnp.zeros(lead + (C * G, D), query_flat.dtype)
+    padded = padded.at[..., slot, :].set(query_flat)
+    qg = padded.reshape(lead + (C, G, D))
+    scores = jnp.einsum("...cgd,cmd->...cgm", qg, db_stack_flat)
+    d2 = db_sq_stack[:, None, :].astype(jnp.float32) - 2.0 * scores
+    local = jnp.argmin(d2, axis=-1).astype(jnp.int32)           # (..., C, G)
+    global_idx = local + (jnp.arange(C, dtype=jnp.int32) * M)[:, None]
+    # padded slots are never read back
+    return global_idx.reshape(lead + (C * G,))[..., slot]
+
+
 class ContextIndex:
     """Precomputed normalized context-feature index for one character.
 

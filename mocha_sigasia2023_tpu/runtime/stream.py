@@ -27,7 +27,7 @@ from ..kinematics import quat
 from ..kinematics.inertial import ContactState, contact_update
 from ..models import cvae as jcvae
 from ..models import generator as gen
-from .matching import nn_index
+from .matching import nn_index, nn_index_grouped
 
 
 class IKConfig(NamedTuple):
@@ -274,15 +274,21 @@ def make_stream_step(cfg: gen.GeneratorConfig,
         params, cvae_params, consts = ctx
         key = carry.key
         # --- context matching -------------------------------------------
-        src_cnt_nm = (x["cnt"] - consts.cnt_mean) / consts.cnt_std
-        q_flat = src_cnt_nm.reshape(-1)
-        db_flat = consts.cha_cnt_flat
-        if compute_dtype is not None:
-            # the 23k-dim score matmul dominates NN cost; bf16 with the
-            # precomputed f32 |x|^2 keeps the argmin stable in practice
-            q_flat = q_flat.astype(compute_dtype)
-            db_flat = db_flat.astype(compute_dtype)
-        idx = nn_index(q_flat, db_flat, consts.cha_cnt_sq)
+        if "nn_idx" in x:
+            # precomputed by the batch runner's hoisted matcher (the NN
+            # query is a pure function of the source cnt input, so all
+            # T x S matches run as one pre-scan einsum)
+            idx = x["nn_idx"]
+        else:
+            src_cnt_nm = (x["cnt"] - consts.cnt_mean) / consts.cnt_std
+            q_flat = src_cnt_nm.reshape(-1)
+            db_flat = consts.cha_cnt_flat
+            if compute_dtype is not None:
+                # the 23k-dim score matmul dominates NN cost; bf16 with the
+                # precomputed f32 |x|^2 keeps the argmin stable in practice
+                q_flat = q_flat.astype(compute_dtype)
+                db_flat = db_flat.astype(compute_dtype)
+            idx = nn_index(q_flat, db_flat, consts.cha_cnt_sq)
         nn_cha_encoded = consts.cha_encoded[idx]
 
         if use_cvae:
@@ -400,8 +406,12 @@ def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
     parents_key = tuple(int(p) for p in parents)
     root_dtype = _resolve_root_dtype(root_dtype)
 
-    src_cnt_nm = (frame0["cnt"] - consts.cnt_mean) / consts.cnt_std
-    idx = nn_index(src_cnt_nm.reshape(-1), consts.cha_cnt_flat, consts.cha_cnt_sq)
+    if "nn_idx" in frame0:
+        idx = frame0["nn_idx"]  # precomputed by the batch runner
+    else:
+        src_cnt_nm = (frame0["cnt"] - consts.cnt_mean) / consts.cnt_std
+        idx = nn_index(src_cnt_nm.reshape(-1), consts.cha_cnt_flat,
+                       consts.cha_cnt_sq)
     cha_enc = consts.cha_encoded[idx]
 
     t_pos, t_rot, t_vel, t_ang, t_speed = _decode_frame(
@@ -544,8 +554,39 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                             fuse_decodes=fuse_decodes,
                             lean_decode=lean_decode)
 
-    @jax.jit
-    def run(params, cvae_params, consts, frame0, xs, keys, char_ids):
+    @functools.partial(jax.jit, static_argnames=("group_size",))
+    def run(params, cvae_params, consts, frame0, xs, keys, char_ids,
+            group_size=None):
+        # ---- hoisted context matching -----------------------------------
+        # The NN query is a pure function of the per-frame SOURCE cnt
+        # (test_fullframework.py:443) — no dependence on the stream carry —
+        # so every (frame, stream) match runs as ONE einsum before the
+        # scan instead of T per-frame matmuls inside it.  Multi-character
+        # sessions use the grouped matcher: C*G*M*D total (G = largest
+        # per-character stream count) vs the masked full-stack form's
+        # S*C*M*D — the C=1 cost for an even character distribution.
+        cnt_all = jnp.concatenate([frame0["cnt"][None], xs["cnt"]], axis=0)
+        if char_ids is None:
+            q = (cnt_all - consts.cnt_mean) / consts.cnt_std
+            q = q.reshape(q.shape[:2] + (-1,))
+            db = consts.cha_cnt_flat
+            if compute_dtype is not None:
+                q = q.astype(compute_dtype)
+                db = db.astype(compute_dtype)
+            idx_all = nn_index(q, db, consts.cha_cnt_sq)
+        else:
+            q = (cnt_all - consts.cnt_mean[char_ids]) \
+                / consts.cnt_std[char_ids]
+            q = q.reshape(q.shape[:2] + (-1,))
+            db = consts.cha_cnt_flat  # (C, M, D)
+            if compute_dtype is not None:
+                q = q.astype(compute_dtype)
+                db = db.astype(compute_dtype)
+            idx_all = nn_index_grouped(q, db, consts.cha_cnt_sq, char_ids,
+                                       group_size)
+        frame0 = dict(frame0, nn_idx=idx_all[0])
+        xs = dict(xs, nn_idx=idx_all[1:])
+
         def consts_for(cid):
             if char_ids is None:
                 return consts
@@ -612,12 +653,20 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                     f"char_ids must be in [0, {n_characters}) — got range "
                     f"[{cid.min()}, {cid.max()}] for a {n_characters}-"
                     "character consts stack")
+            # static group size for the grouped matcher: the largest
+            # per-character stream count (a new size retraces, but a
+            # session's character distribution is fixed)
+            group_size = int(np.bincount(cid, minlength=n_characters).max())
             return run(params, cvae_params, consts, frame0, xs, keys,
-                       jnp.asarray(cid, jnp.int32))
+                       jnp.asarray(cid, jnp.int32), group_size=group_size)
     else:
         def runner(frame0, xs, keys):
             return run(params, cvae_params, consts, frame0, xs, keys, None)
 
+    # expose the inner jitted fn + bound context for AOT cost analysis /
+    # profiling (scripts/serve_cost_probe.py)
+    runner._inner = run
+    runner._ctx = (params, cvae_params, consts)
     return runner
 
 

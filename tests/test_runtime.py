@@ -509,6 +509,78 @@ class TestMultiCharacterServing:
                     np.asarray(multi[k])[:, i], np.asarray(single[k])[:, 0],
                     atol=1e-5, rtol=1e-4, err_msg=f"stream {i} {k}")
 
+    def test_unequal_character_counts_pad_the_grouped_matcher(self, setup):
+        """An UNEQUAL character distribution (here 2+1 streams over 2
+        characters) pads the grouped matcher's per-character query blocks
+        (G = max count); the padded session must reproduce the equal-count
+        session stream-for-stream."""
+        s = setup
+        bf = s["src_feats"]
+        cnt_mean = bf["cnt"].mean(axis=0)
+        cnt_std = bf["cnt"].std(axis=0) + 1e-6
+        flat = ((bf["cnt"] - cnt_mean) / cnt_std).reshape(len(bf["cnt"]), -1)
+        consts_b = s["consts"]._replace(
+            cha_encoded=jnp.asarray(bf["encoded"]),
+            cha_cnt_flat=jnp.asarray(flat),
+            cha_cnt_sq=jnp.asarray((flat ** 2).sum(-1)),
+            cnt_mean=jnp.asarray(cnt_mean), cnt_std=jnp.asarray(cnt_std),
+            src_cnt_mean=jnp.asarray(cnt_mean),
+            src_cnt_std=jnp.asarray(cnt_std),
+            cha_encoded_mean=jnp.asarray(bf["encoded"].mean(axis=0)),
+            cha_encoded_std=jnp.asarray(bf["encoded"].std(axis=0) + 1e-6))
+        stack = rts.stack_consts([s["consts"], consts_b])
+
+        runner = rts.make_batch_runner(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            stack, s["parents"], deterministic=True, multi_character=True)
+
+        feats4 = {k: np.stack([np.asarray(s["src_feats"][k])] * 4)
+                  for k in LiveCharacterizer.FEAT_KEYS}
+        frame0_4, xs_4 = rts.stack_stream_inputs(feats4)
+        keys4 = jnp.stack([jax.random.PRNGKey(3)] * 4)
+        equal = runner(frame0_4, xs_4, keys4,
+                       np.array([0, 1, 0, 1], np.int32))  # G == counts
+
+        feats3 = {k: v[:3] for k, v in feats4.items()}
+        frame0_3, xs_3 = rts.stack_stream_inputs(feats3)
+        unequal = runner(frame0_3, xs_3, keys4[:3],
+                         np.array([0, 1, 0], np.int32))   # G=2 > count(1)
+
+        for k in ("trans_pos", "ik_pos", "cm_pos", "nn_index"):
+            np.testing.assert_allclose(
+                np.asarray(unequal[k]), np.asarray(equal[k])[:, :3],
+                atol=1e-5, rtol=1e-4, err_msg=k)
+
+    def test_grouped_matcher_equals_masked_form(self):
+        """nn_index_grouped (the near-C-independent grouped einsum) must
+        agree with the masked full-stack argmin on random data, including
+        +inf database pad rows, an interleaved group assignment, and a
+        SKEWED distribution that pads the query blocks (G > min count)."""
+        from mocha_sigasia2023_tpu.runtime.matching import nn_index_grouped
+        r = np.random.RandomState(11)
+        C, M, D, T = 3, 17, 31, 5
+        db = r.randn(C, M, D).astype(np.float32)
+        sq = (db ** 2).sum(-1)
+        sq[:, -3:] = np.inf  # padded rows can never win
+        db[:, -3:] = 0.0
+        for gids in (np.array([2, 0, 1, 0, 2, 1], np.int32),   # even, G=2
+                     np.array([1, 1, 0, 1, 1, 2], np.int32)):  # skewed, G=4
+            S = len(gids)
+            G = int(np.bincount(gids, minlength=C).max())
+            q = r.randn(T, S, D).astype(np.float32)
+
+            got = np.asarray(nn_index_grouped(
+                jnp.asarray(q), jnp.asarray(db), jnp.asarray(sq),
+                jnp.asarray(gids), G))
+
+            db_flat = db.reshape(C * M, D)
+            row_char = np.arange(C * M) // M
+            for t in range(T):
+                for si in range(S):
+                    d2 = sq.reshape(-1) - 2.0 * (db_flat @ q[t, si])
+                    d2 = np.where(row_char == gids[si], d2, np.inf)
+                    assert got[t, si] == int(np.argmin(d2)), (t, si)
+
 
 class TestBf16Fidelity:
     def test_bf16_positions_within_2e3_of_f32(self, setup):
