@@ -49,6 +49,10 @@ def main():
                     help="production path only (skip the NN cm decode)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 decoder/CVAE matmuls, f32 pose math")
+    ap.add_argument("--bf16-cvae", action="store_true",
+                    help="bf16 ONLY the CVAE sample (the step's hot op, "
+                         "~63%% — README ablation table); generator "
+                         "decodes and pose math stay f32")
     ap.add_argument("--unroll", type=int, default=1,
                     help="lax.scan unroll factor for the frame loop")
     ap.add_argument("--fuse-decodes", action="store_true",
@@ -131,10 +135,11 @@ def main():
     if args.pipelined and not args.live:
         ap.error("--pipelined requires --live")
     if args.live and (args.lean_decode or args.fuse_decodes or args.no_ik
-                      or args.unroll != 1 or args.characters > 1):
+                      or args.unroll != 1 or args.characters > 1
+                      or args.bf16_cvae):
         ap.error("--live ignores --lean-decode/--fuse-decodes/--no-ik/"
-                 "--unroll/--characters; drop them so the label matches "
-                 "the measurement")
+                 "--unroll/--characters/--bf16-cvae; drop them so the "
+                 "label matches the measurement")
     from mocha_sigasia2023_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     if args.rbg_prng:
@@ -229,11 +234,12 @@ def bench_steploop(args):
                          14, 8, 16, 17, 18, 0, 20, 21, 22]) + 1])
 
     compute_dtype = jnp.bfloat16 if args.bf16 else None
+    cvae_dtype = jnp.bfloat16 if (args.bf16 or args.bf16_cvae) else None
     if args.bf16:
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-        if cvae_params is not None:
-            cvae_params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16), cvae_params)
+    if (args.bf16 or args.bf16_cvae) and cvae_params is not None:
+        cvae_params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16), cvae_params)
     if args.live:
         return bench_live(args, params, cfg, cvae_params, cvae_cfg, consts,
                           parents, feats)
@@ -250,6 +256,7 @@ def bench_steploop(args):
                                ik=IKConfig(enabled=not args.no_ik),
                                deterministic=args.deterministic,
                                compute_dtype=compute_dtype,
+                               cvae_dtype=cvae_dtype,
                                unroll=args.unroll,
                                fuse_decodes=args.fuse_decodes,
                                lean_decode=args.lean_decode,
@@ -336,11 +343,12 @@ def bench_e2e(args):
     cvae_params = None if args.no_cvae else init_cvae(
         jax.random.fold_in(key, 1), cvae_cfg)
     compute_dtype = jnp.bfloat16 if args.bf16 else None
+    cvae_dtype = jnp.bfloat16 if (args.bf16 or args.bf16_cvae) else None
     if args.bf16:
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-        if cvae_params is not None:
-            cvae_params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16), cvae_params)
+    if (args.bf16 or args.bf16_cvae) and cvae_params is not None:
+        cvae_params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16), cvae_params)
 
     # ---- setup (offline in production, untimed): character database ----
     S, F = args.streams, args.frames
@@ -381,6 +389,7 @@ def bench_e2e(args):
                                parents, ik=IKConfig(enabled=not args.no_ik),
                                deterministic=args.deterministic,
                                compute_dtype=compute_dtype,
+                               cvae_dtype=cvae_dtype,
                                compute_cm=not args.single_stream)
     keys = jax.random.split(jax.random.PRNGKey(7), S)
 

@@ -239,8 +239,16 @@ def make_stream_step(cfg: gen.GeneratorConfig,
                      dt: float = 1.0 / 60.0, deterministic: bool = False,
                      use_cvae: bool = True, compute_cm: bool = True,
                      compute_dtype=None, root_dtype=None,
-                     fuse_decodes: bool = False, lean_decode: bool = False):
+                     fuse_decodes: bool = False, lean_decode: bool = False,
+                     cvae_dtype=None):
     """Build the pure per-frame step function.
+
+    ``cvae_dtype`` runs ONLY the CVAE sample in the given dtype (callers
+    must cast cvae_params to match) while the generator decodes and pose
+    math stay in ``compute_dtype``/f32 — the CVAE is the step's hot op
+    (~63%, README ablation table) and is matmul-roofline-bound, so bf16
+    there buys most of the full-bf16 speedup at a fraction of the
+    numeric exposure.  Defaults to ``compute_dtype``.
 
     step(ctx, carry, frame_inputs) -> (carry, outputs) where ctx =
     (params, cvae_params, consts) is passed explicitly (NOT closed over) so
@@ -250,6 +258,8 @@ def make_stream_step(cfg: gen.GeneratorConfig,
     parents_key = tuple(int(p) for p in parents)
     cbones = tuple(int(b) for b in contact_bones)
     root_dtype = _resolve_root_dtype(root_dtype)
+    if cvae_dtype is None:
+        cvae_dtype = compute_dtype
 
     def _decode_two(params, consts, src_enc, cvae_cha, nn_cha):
         """Decode the CVAE and NN streams; ``fuse_decodes`` stacks them
@@ -300,8 +310,8 @@ def make_stream_step(cfg: gen.GeneratorConfig,
                 ],
                 axis=0,
             )
-            if compute_dtype is not None:
-                condition = condition.astype(compute_dtype)
+            if cvae_dtype is not None:
+                condition = condition.astype(cvae_dtype)
             key, k_s = jax.random.split(key)
             vae_out = jcvae.sample(
                 cvae_params, condition[None], cvae_cfg,
@@ -484,7 +494,7 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
                       dt: float = 1.0 / 60.0, deterministic: bool = False,
                       compute_cm: bool = True, compute_dtype=None,
                       root_dtype=jnp.float64, fuse_decodes: bool = False,
-                      lean_decode: bool = False,
+                      lean_decode: bool = False, cvae_dtype=None,
                       key: Optional[jax.Array] = None) -> Dict[str, np.ndarray]:
     """Offline characterization of a whole clip: frame-0 init + `lax.scan`
     over the remaining frames, all inside one jit.
@@ -500,7 +510,8 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
                             compute_dtype=compute_dtype,
                             root_dtype=root_dtype,
                             fuse_decodes=fuse_decodes,
-                            lean_decode=lean_decode)
+                            lean_decode=lean_decode,
+                            cvae_dtype=cvae_dtype)
 
     xs_all = _as_f32_feats(stream_feats)
     frame0 = {k: v[0] for k, v in xs_all.items()}
@@ -529,7 +540,7 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                       compute_cm: bool = True, compute_dtype=None,
                       root_dtype=None, unroll: int = 1,
                       fuse_decodes: bool = False, lean_decode: bool = False,
-                      multi_character: bool = False):
+                      multi_character: bool = False, cvae_dtype=None):
     """Batched-streams characterizer: vmap the per-frame step over S
     parallel streams and scan over time — the ">=10k frames/sec/chip" play
     (SURVEY.md §5: scale by batching streams, not sharding a window).
@@ -552,7 +563,8 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                             compute_dtype=compute_dtype,
                             root_dtype=root_dtype,
                             fuse_decodes=fuse_decodes,
-                            lean_decode=lean_decode)
+                            lean_decode=lean_decode,
+                            cvae_dtype=cvae_dtype)
 
     @functools.partial(jax.jit, static_argnames=("group_size",))
     def run(params, cvae_params, consts, frame0, xs, keys, char_ids,

@@ -609,6 +609,27 @@ class TestBf16Fidelity:
         # disagreement would mean the argmin is broken
         assert float((a["nn_index"] == b["nn_index"]).mean()) > 0.9
 
+    def test_bf16_cvae_only_within_full_bf16_bound(self, setup):
+        """cvae_dtype=bfloat16 (bench --bf16-cvae: bf16 ONLY the CVAE
+        sample — the step's hot op; decodes, NN match, and pose math stay
+        f32) must track the f32 path within the same 2e-3 bound as full
+        bf16, and the f32 NN match must be bit-identical."""
+        s = setup
+        a = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            key=jax.random.PRNGKey(5))
+        bf_cvae = jax.tree.map(
+            lambda t: t.astype(jnp.bfloat16), s["cvae_params"])
+        b = rts.characterize_clip(
+            s["params"], s["cfg"], bf_cvae, s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            cvae_dtype=jnp.bfloat16, key=jax.random.PRNGKey(5))
+        for k in ("trans_pos", "ik_pos", "cm_pos"):
+            err = float(np.abs(a[k] - b[k]).max())
+            assert err <= 2e-3, f"{k}: bf16-cvae drift {err:.2e} > 2e-3"
+        np.testing.assert_array_equal(a["nn_index"], b["nn_index"])
+
 
 class TestLiveSession:
     def test_live_matches_offline_scan(self, setup):
