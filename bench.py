@@ -87,6 +87,14 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="generator training steps/sec at reference scale "
                          "(batch 64, full model)")
+    ap.add_argument("--train-cvae", action="store_true",
+                    help="CVAE scheduled-sampling rollout trainer "
+                         "iterations/s at reference scale (batch 32, "
+                         "rollout 10 -> 9 in-scan optimizer updates per "
+                         "iteration; train_CVAE.py:225-259). Batches are "
+                         "pre-assembled and pre-placed like --train; "
+                         "--sync-h2d times host assembly + relay upload "
+                         "inside the loop instead")
     ap.add_argument("--monolithic", action="store_true",
                     help="with --train: force the single-program step "
                          "(the shipped config already runs it; kept for "
@@ -150,6 +158,10 @@ def main():
     if args.fused_attention:
         from mocha_sigasia2023_tpu.ops import attention as _fa
         _fa.set_fused_attention(True)
+    if args.train and args.train_cvae:
+        ap.error("--train and --train-cvae are mutually exclusive")
+    if args.train_cvae:
+        return bench_train_cvae(args)
     if args.train:
         return bench_train(args)
     if args.e2e and args.step_loop:
@@ -666,6 +678,100 @@ def bench_train(args):
         # no reference number exists; report windows/s context instead
         "vs_baseline": round(steps_per_sec * B, 1),
         "windows_per_sec": round(steps_per_sec * B, 1),
+        "batch_size": B,
+    }
+    print(json.dumps(result))
+
+
+def bench_train_cvae(args):
+    """CVAE-trainer throughput at reference scale: batch 32 rollouts of 10
+    consecutive 90-token windows, 9 in-scan AdamW updates per iteration
+    (train_CVAE.py:225-259 -> trainer_cvae.CVAETrainer._rollout_impl).
+
+    Default instrument pre-assembles and pre-places 4 batches (like
+    --train: the production pipeline overlaps host batch assembly with the
+    device rollout, and on the relay a synchronous ~90 MB/iteration upload
+    would swamp the step); --sync-h2d times the naive
+    ``train_iteration`` loop (host NN + noise + relay upload inside)."""
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mocha_sigasia2023_tpu.train.trainer_cvae import (
+        CVAETrainer, CVAETrainerConfig)
+
+    # --batch-size defaults to the GENERATOR's 64; the CVAE reference
+    # batch is 32 (train_CVAE.py config), so only honor an explicit flag
+    B = args.batch_size if "--batch-size" in sys.argv else 32
+    tc = CVAETrainerConfig(batch_size=B)  # production dims: 256/2/4/512/90
+
+    rng = np.random.RandomState(0)
+    n_src, n_cha, S, D = 2048, 2048, tc.nseq, tc.latent_dim
+    src_cnt = rng.randn(n_src, S, D).astype(np.float32)
+    cha_cnt = rng.randn(n_cha, S, D).astype(np.float32)
+    cha_enc = rng.randn(n_cha, S, D).astype(np.float32)
+    trainer = CVAETrainer(
+        tc,
+        src_cnt=src_cnt, src_action=np.zeros(n_src, np.int32),
+        src_range_starts=np.array([0]), src_range_stops=np.array([n_src]),
+        cha_cnt=cha_cnt, cha_encoded=cha_enc,
+        cha_action=np.zeros(n_cha, np.int32),
+        cha_range_starts=np.array([0]), cha_range_stops=np.array([n_cha]),
+        cnt_mean=cha_cnt.mean(0), cnt_std=cha_cnt.std(0) + 1e-6,
+        target_actions=[0])
+
+    if args.sync_h2d:
+        m = trainer.train_iteration(0)  # compile + warmup
+        m = trainer.train_iteration(1)
+        assert m is not None and np.isfinite(m["cvae/encoded_loss"])
+        t0 = time.perf_counter()
+        for i in range(args.train_steps):
+            m = trainer.train_iteration(2 + i)
+        elapsed = time.perf_counter() - t0
+        assert np.isfinite(m["cvae/encoded_loss"])
+    else:
+        batches = []
+        for it in range(4):
+            b = trainer.sample_batch(it)
+            assert b is not None
+            batches.append(tuple(jax.device_put(jnp.asarray(a))
+                                 for a in b))
+        params, opt_state = trainer.params, trainer.opt_state
+        key = trainer.key
+        sched = jnp.float32(trainer.schedule[0])
+        anneal = jnp.float32(trainer.anneal_weight(0))
+        tw = time.perf_counter()
+        for i in range(2):  # warmup/compile
+            key, sub = jax.random.split(key)
+            params, opt_state, m = trainer._rollout(
+                params, opt_state, *batches[i % 4], sched, anneal, sub)
+            enc = float(np.asarray(m)[0])  # host fetch = sync barrier
+            print(f"warmup iter {i}: {time.perf_counter() - tw:.1f}s "
+                  f"enc_l1={enc:.4f}", file=sys.stderr)
+            tw = time.perf_counter()
+        assert np.isfinite(enc)
+        t0 = time.perf_counter()
+        for i in range(args.train_steps):
+            key, sub = jax.random.split(key)
+            params, opt_state, m = trainer._rollout(
+                params, opt_state, *batches[i % 4], sched, anneal, sub)
+        enc = float(np.asarray(m)[0])
+        elapsed = time.perf_counter() - t0
+        assert np.isfinite(enc)
+
+    iters_per_sec = args.train_steps / elapsed
+    updates = max(tc.rollout_steps - 1, 1)
+    result = {
+        "metric": "cvae_train_iterations_per_sec"
+                  + ("_sync_h2d" if args.sync_h2d else ""),
+        "value": round(iters_per_sec, 3),
+        "unit": "iters/s",
+        # no reference number exists; report rollout windows/s context
+        "vs_baseline": round(iters_per_sec * B * tc.rollout_steps, 1),
+        "windows_per_sec": round(iters_per_sec * B * tc.rollout_steps, 1),
+        "optimizer_updates_per_sec": round(iters_per_sec * updates, 2),
         "batch_size": B,
     }
     print(json.dumps(result))
