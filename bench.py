@@ -705,7 +705,11 @@ def bench_train_cvae(args):
     # --batch-size defaults to the GENERATOR's 64; the CVAE reference
     # batch is 32 (train_CVAE.py config), so only honor an explicit flag
     B = args.batch_size if "--batch-size" in sys.argv else 32
-    tc = CVAETrainerConfig(batch_size=B)  # production dims: 256/2/4/512/90
+    # production dims: 256/2/4/512/90; --bf16 = mixed-precision forwards
+    # (f32 master weights + loss tails)
+    tc = CVAETrainerConfig(
+        batch_size=B,
+        compute_dtype="bfloat16" if args.bf16 else None)
 
     rng = np.random.RandomState(0)
     n_src, n_cha, S, D = 2048, 2048, tc.nseq, tc.latent_dim
@@ -765,6 +769,7 @@ def bench_train_cvae(args):
     updates = max(tc.rollout_steps - 1, 1)
     result = {
         "metric": "cvae_train_iterations_per_sec"
+                  + ("_bf16" if args.bf16 else "")
                   + ("_sync_h2d" if args.sync_h2d else ""),
         "value": round(iters_per_sec, 3),
         "unit": "iters/s",

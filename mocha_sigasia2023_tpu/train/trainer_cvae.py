@@ -82,6 +82,9 @@ class CVAETrainerConfig(NamedTuple):
     teacher_iters: int = 10000
     ramping_iters: int = 10000
     student_iters: int = 20000
+    # bf16 forwards with f32 master weights + f32 loss tails (mixed
+    # precision; None = full f32, the reference-parity default)
+    compute_dtype: Optional[str] = None
 
     @property
     def num_iters(self):
@@ -186,9 +189,24 @@ class CVAETrainer:
             key, k_fwd, k_student, k_drop = jax.random.split(key, 4)
 
             def loss_fn(p):
+                cdt = (jnp.dtype(tc.compute_dtype)
+                       if tc.compute_dtype is not None else None)
+                if cdt is not None:
+                    # mixed precision: cast-through keeps f32 master
+                    # weights (grads flow back through the cast); the
+                    # loss tail below runs f32 regardless
+                    p_fwd = jax.tree.map(lambda a: a.astype(cdt), p)
+                    tgt = cha_enc_nm[:, offset].astype(cdt)
+                    cond = condition.astype(cdt)
+                else:
+                    p_fwd, tgt, cond = p, cha_enc_nm[:, offset], condition
                 out, (mu_po, lv_po), (mu_pr, lv_pr) = jcvae.forward(
-                    p, cha_enc_nm[:, offset], condition, self.cfg,
-                    key=k_fwd, train=True)
+                    p_fwd, tgt, cond, self.cfg, key=k_fwd, train=True)
+                if cdt is not None:
+                    out = out.astype(jnp.float32)
+                    mu_po, lv_po, mu_pr, lv_pr = (
+                        a.astype(jnp.float32)
+                        for a in (mu_po, lv_po, mu_pr, lv_pr))
                 kl = kl_normal(mu_po, lv_po, mu_pr, lv_pr).mean()
                 enc_l1 = jnp.mean(jnp.abs(out - cha_enc_nm[:, offset]))
                 out_un = out * enc_std + enc_mean

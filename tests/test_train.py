@@ -419,6 +419,42 @@ class TestCVAETrainer:
         arts = trainer.norm_artifacts()
         assert arts["std_weight"].shape == (S, D)
 
+    def test_bf16_mixed_precision_tracks_f32(self):
+        """compute_dtype='bfloat16' (bench --train-cvae --bf16: bf16
+        forwards, f32 master weights + loss tails) must keep f32 params,
+        stay finite, and track the f32 trainer's first-iteration metrics
+        from the same init/batch/keys within bf16 matmul noise."""
+        rng = np.random.RandomState(3)
+        S, D, n = 12, 32, 60
+        kw = dict(
+            src_cnt=rng.randn(n, S, D).astype(np.float32),
+            src_action=np.zeros(n, np.int32),
+            src_range_starts=np.array([0]), src_range_stops=np.array([n]),
+            cha_cnt=rng.randn(n, S, D).astype(np.float32),
+            cha_encoded=rng.randn(n, S, D).astype(np.float32),
+            cha_action=np.zeros(n, np.int32),
+            cha_range_starts=np.array([0]), cha_range_stops=np.array([n]),
+            cnt_mean=rng.randn(S, D).astype(np.float32),
+            cnt_std=(rng.rand(S, D) + 0.5).astype(np.float32),
+            target_actions=[0])
+        tc = CVAETrainerConfig(
+            latent_dim=D, depth=1, nheads=2, feedforward_dim=64, nseq=S,
+            rollout_steps=4, batch_size=4, teacher_iters=2,
+            ramping_iters=2, student_iters=2, kl_anneal_end=4,
+            dropout=0.0, condition_dropout=0.0)
+        t32 = CVAETrainer(tc, **kw)
+        tbf = CVAETrainer(tc._replace(compute_dtype="bfloat16"), **kw)
+        # same seed -> same init, same host batch draw, same rollout keys
+        m32 = t32.train_iteration(0)
+        mbf = tbf.train_iteration(0)
+        assert m32 is not None and mbf is not None
+        for p in jax.tree.leaves(tbf.params):
+            assert p.dtype == jnp.float32  # master weights stay f32
+        for k in ("cvae/encoded_loss", "cvae/cnt_loss", "cvae/dist_loss"):
+            a, b = m32[k], mbf[k]
+            assert np.isfinite(b)
+            assert abs(a - b) <= 0.05 * max(abs(a), 1.0), (k, a, b)
+
 
     def test_one_iteration_matches_torch_reference(self, monkeypatch):
         """One teacher-forced, noise-free training iteration of the
