@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.dataset import window_xy_features
+from ..data.dataset import window_xy_features, _window_vel, _window_ang
 from ..kinematics import quat
 from ..data.preprocess import featurize_clip_jit
 from ..data.windows import padded_window_indices, gather_windows, full_window_indices
@@ -123,6 +123,111 @@ def _rot_from_Y(Y):
     return quat.from_xform_xy(Y[..., 3:9].reshape(b, t, j, 3, 2))
 
 
+def _per_frame_world(feats, bone_parents):
+    """Hoist the window-independent kinematics to ONE per-frame pass.
+
+    With stride-1 sliding windows every frame appears in up to ``window``
+    windows, and the reference recomputes FK/IK for each
+    (test_fullframework.py:141-185 re-derives the whole window per frame).
+    But world FK is pointwise per frame, and ``fk_vel`` is *linear* in the
+    local velocities — so the pad-zeroed velocity semantics of tail
+    windows survive the hoist (zero local vel/ang ⇒ zero world vel/ang),
+    and window gathers of these (T, J, ·) arrays are exact.  Measured on
+    v5e this removes the 60x-redundant FK/IK traffic that made the
+    featurize stage bandwidth-bound (scripts/e2e_stage_probe.py).
+    """
+    Grot, Gpos, Gvel, Gang = quat.fk_vel(
+        feats["rotations"], feats["positions"], feats["velocities"],
+        feats["angular_velocities"], bone_parents)
+    # local root velocities in body coordinates (data_loader.py:64-67) are
+    # per-frame quantities; the stream only reads the window's last row
+    Yrvel = quat.inv_mul_vec(feats["rotations"][..., 0, :],
+                             feats["velocities"][..., 0, :])
+    Yrang = quat.inv_mul_vec(feats["rotations"][..., 0, :],
+                             feats["angular_velocities"][..., 0, :])
+    return {"Grot": Grot, "Gpos": Gpos, "Gvel": Gvel, "Gang": Gang,
+            "Lrot": feats["rotations"], "Lpos": feats["positions"],
+            "Yrvel": Yrvel, "Yrang": Yrang,
+            "contacts": feats["contacts"]}
+
+
+def _stream_chunk_outputs(pf, ci, cp, bone_parents, params, cfg,
+                          X_mean, X_std, compute_dtype):
+    """One chunk of windows -> encoder features + last-frame stream rows,
+    from per-frame world-FK arrays (:func:`_per_frame_world`).
+
+    Exactly reproduces window_xy_features + the last-row slicing of
+    clip_stream_features (the host oracle path, kept on the general form):
+      * X = character-space features w.r.t. the window-last root — the
+        per-window inv(R_last) rotations are intrinsic and stay;
+      * parent-local Y rows are window-independent (inv(G_p) G_c cancels
+        the pin) except the root row (identity/zero) and root-child rows
+        (which equal the already-computed X rows), so no per-window IK;
+      * Y velocities re-derive by finite difference inside the window
+        (same _window_vel/_window_ang, on the cheap reconstructed Y).
+    """
+    par = np.asarray(bone_parents)
+    J = len(par)
+    is_root = jnp.asarray((np.arange(J) == 0).reshape(J, 1))
+    is_rchild = jnp.asarray(((par == 0) & (np.arange(J) != 0)).reshape(J, 1))
+
+    maskf = (~cp).astype(jnp.float32)
+    m = maskf[..., None, None]
+    Grot = pf["Grot"][ci]
+    Gpos = pf["Gpos"][ci]
+    Gvel = pf["Gvel"][ci] * m
+    Gang = pf["Gang"][ci] * m
+
+    window = Grot.shape[1]
+
+    def pin_last(a):  # pin the root track to the window's LAST frame
+        return a.at[:, :, 0:1].set(jnp.repeat(a[:, -1:, 0:1], window, axis=1))
+
+    Grot, Gpos = pin_last(Grot), pin_last(Gpos)
+    Gvel, Gang = pin_last(Gvel), pin_last(Gang)
+
+    root_rot = Grot[:, :, 0:1]
+    Xpos = quat.inv_mul_vec(root_rot, Gpos - Gpos[:, :, 0:1])
+    Xrot = quat.inv_mul(root_rot, Grot)
+    Xvel = quat.inv_mul_vec(root_rot, Gvel)
+    Xang = quat.inv_mul_vec(root_rot, Gang)
+    b, t, j = Xpos.shape[:3]
+    X = jnp.concatenate(
+        [Xpos, quat.to_xform_xy(Xrot).reshape(b, t, j, 6), Xvel, Xang],
+        axis=-1)
+    x_in = (X[:, :, 1:] - X_mean[None, None, 1:]) / X_std[None, None, 1:]
+    if compute_dtype is not None:
+        x_in = x_in.astype(compute_dtype)
+    encoded = gen.encode(params, cfg, x_in)
+    cnt = gen.content_feature(encoded)
+
+    identq = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    Yrot2 = jnp.where(is_root, identq,
+                      jnp.where(is_rchild, Xrot, pf["Lrot"][ci]))
+    Ypos2 = jnp.where(is_root, 0.0,
+                      jnp.where(is_rchild, Xpos, pf["Lpos"][ci]))
+    Yvel2 = _window_vel(Ypos2)
+    Yang2 = _window_ang(Yrot2)
+
+    # match the oracle's quat->xform_xy->quat canonicalization of rot_last
+    rot_last = quat.from_xform_xy(quat.to_xform_xy(Yrot2[:, -1]))
+    last_mask = maskf[:, -1]
+    last_idx = ci[:, -1]
+    return {
+        "encoded": encoded.astype(jnp.float32),
+        "cnt": cnt.astype(jnp.float32),
+        "pos_last": Ypos2[:, -1],
+        "rot_last": rot_last,
+        "vel_last": Yvel2[:, -1],
+        "ang_last": Yang2[:, -1],
+        "rvel_last": pf["Yrvel"][last_idx] * last_mask[:, None],
+        "rang_last": pf["Yrang"][last_idx] * last_mask[:, None],
+        "contact_last": pf["contacts"][last_idx].astype(jnp.float32),
+        "hips_speed_mean": jnp.mean(
+            jnp.linalg.norm(Yvel2[:, :, 1], axis=-1), axis=1),
+    }
+
+
 @functools.lru_cache(maxsize=16)
 def _stream_featurizer_jitted(cfg: gen.GeneratorConfig, nframes, order, names,
                               parents, window, mirror, threshold, fps, chunk,
@@ -147,36 +252,12 @@ def _stream_featurizer_jitted(cfg: gen.GeneratorConfig, nframes, order, names,
         feats = featurize_clip(
             rot_deg, pos_cm, order, list(names), parents_arr, mirror=mirror,
             contact_velocity_threshold=threshold, fps=fps)
+        pf = _per_frame_world(feats, bone_parents)
 
         def do_chunk(c):
             ci, cp = c
-            Ypos = gather_windows(feats["positions"], ci)
-            Yvel = gather_windows(feats["velocities"], ci, cp)
-            Yrot = gather_windows(feats["rotations"], ci)
-            Yang = gather_windows(feats["angular_velocities"], ci, cp)
-
-            X, Y, root = window_xy_features(Yrot, Ypos, Yvel, Yang,
-                                            bone_parents)
-            x_in = (X[:, :, 1:] - X_mean[None, None, 1:]) \
-                / X_std[None, None, 1:]
-            if compute_dtype is not None:
-                x_in = x_in.astype(compute_dtype)
-            encoded = gen.encode(params, cfg, x_in)
-            cnt = gen.content_feature(encoded)
-            return {
-                "encoded": encoded.astype(jnp.float32),
-                "cnt": cnt.astype(jnp.float32),
-                "pos_last": Y[:, -1, :, :3],
-                "rot_last": _rot_from_Y(Y[:, -1:])[:, 0],
-                "vel_last": Y[:, -1, :, 9:12],
-                "ang_last": Y[:, -1, :, 12:15],
-                "rvel_last": root[:, -1, :3],
-                "rang_last": root[:, -1, 3:],
-                "contact_last": feats["contacts"][ci[:, -1]].astype(
-                    jnp.float32),
-                "hips_speed_mean": jnp.mean(
-                    jnp.linalg.norm(Y[:, :, 1, 9:12], axis=-1), axis=1),
-            }
+            return _stream_chunk_outputs(pf, ci, cp, bone_parents, params,
+                                         cfg, X_mean, X_std, compute_dtype)
 
         if G == 1:
             out = do_chunk((jnp.asarray(idx_p[0]), jnp.asarray(pad_p[0])))
@@ -225,38 +306,16 @@ def _batch_stream_featurizer_jitted(cfg: gen.GeneratorConfig, n_clips,
             return {k: out[k] for k in _BSF_KEYS}
 
         feats = jax.vmap(one_clip)(rot_deg, pos_cm)
-        flat = {k: feats[k].reshape((n_clips * nframes,)
-                                    + feats[k].shape[2:])
-                for k in _BSF_KEYS}
+        # per-frame world FK over the (clips, frames) batch, then flatten so
+        # all clips' windows gather from one (S*T, J, ·) stack
+        pf = _per_frame_world(feats, bone_parents)
+        pf = {k: v.reshape((n_clips * nframes,) + v.shape[2:])
+              for k, v in pf.items()}
 
         def do_chunk(c):
             ci, cp = c
-            Ypos = gather_windows(flat["positions"], ci)
-            Yvel = gather_windows(flat["velocities"], ci, cp)
-            Yrot = gather_windows(flat["rotations"], ci)
-            Yang = gather_windows(flat["angular_velocities"], ci, cp)
-            X, Y, root = window_xy_features(Yrot, Ypos, Yvel, Yang,
-                                            bone_parents)
-            x_in = (X[:, :, 1:] - X_mean[None, None, 1:]) \
-                / X_std[None, None, 1:]
-            if compute_dtype is not None:
-                x_in = x_in.astype(compute_dtype)
-            encoded = gen.encode(params, cfg, x_in)
-            cnt = gen.content_feature(encoded)
-            return {
-                "encoded": encoded.astype(jnp.float32),
-                "cnt": cnt.astype(jnp.float32),
-                "pos_last": Y[:, -1, :, :3],
-                "rot_last": _rot_from_Y(Y[:, -1:])[:, 0],
-                "vel_last": Y[:, -1, :, 9:12],
-                "ang_last": Y[:, -1, :, 12:15],
-                "rvel_last": root[:, -1, :3],
-                "rang_last": root[:, -1, 3:],
-                "contact_last": flat["contacts"][ci[:, -1]].astype(
-                    jnp.float32),
-                "hips_speed_mean": jnp.mean(
-                    jnp.linalg.norm(Y[:, :, 1, 9:12], axis=-1), axis=1),
-            }
+            return _stream_chunk_outputs(pf, ci, cp, bone_parents, params,
+                                         cfg, X_mean, X_std, compute_dtype)
 
         if G == 1:
             out = do_chunk((jnp.asarray(flat_idx[0]),
