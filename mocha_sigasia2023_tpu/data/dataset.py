@@ -28,9 +28,14 @@ from ..io.database import load_database
 from .windows import full_window_indices
 
 
-def _window_vel(pos, fps=60.0):
+def window_vel(pos, fps=60.0):
     """Central difference along the window axis (axis 1) with endpoint
-    extrapolation (data_loader.py:91-96)."""
+    extrapolation (data_loader.py:91-96).
+
+    Public contract shared with the streaming runtime: the hoisted
+    featurizer (runtime/features.py `_stream_chunk_outputs`) re-derives Y
+    velocities with EXACTLY these finite-difference semantics — edits here
+    change both training features and served streams."""
     inner = 0.5 * (pos[:, 2:] - pos[:, 1:-1]) * fps + \
             0.5 * (pos[:, 1:-1] - pos[:, :-2]) * fps
     first = inner[:, 0] - (inner[:, 2] - inner[:, 1])
@@ -38,14 +43,19 @@ def _window_vel(pos, fps=60.0):
     return jnp.concatenate([first[:, None], inner, last[:, None]], axis=1)
 
 
-def _window_ang(rot, fps=60.0):
-    """(data_loader.py:99-104)"""
+def window_ang(rot, fps=60.0):
+    """(data_loader.py:99-104); shares :func:`window_vel`'s contract."""
     fwd = quat.to_scaled_angle_axis(quat.abs_(quat.mul_inv(rot[:, 2:], rot[:, 1:-1])))
     bwd = quat.to_scaled_angle_axis(quat.abs_(quat.mul_inv(rot[:, 1:-1], rot[:, :-2])))
     inner = 0.5 * fwd * fps + 0.5 * bwd * fps
     first = inner[:, 0] - (inner[:, 2] - inner[:, 1])
     last = inner[:, -1] + (inner[:, -1] - inner[:, -2])
     return jnp.concatenate([first[:, None], inner, last[:, None]], axis=1)
+
+
+# backward-compat aliases (pre-round-4 private names)
+_window_vel = window_vel
+_window_ang = window_ang
 
 
 def window_xy_features(Yrot, Ypos, Yvel, Yang, parents):
@@ -85,8 +95,8 @@ def window_xy_features(Yrot, Ypos, Yvel, Yang, parents):
 
     Yrot2, Ypos2 = quat.ik(Xrot, Xpos, parents)
     Ytxy = quat.to_xform_xy(Yrot2)
-    Yvel2 = _window_vel(Ypos2)
-    Yang2 = _window_ang(Yrot2)
+    Yvel2 = window_vel(Ypos2)
+    Yang2 = window_ang(Yrot2)
 
     b, t, j = Xpos.shape[:3]
     X = jnp.concatenate(

@@ -129,11 +129,15 @@ class TestCLIChain:
             "--cvae-norm", str(d / "cvae" / "cvae_norm.npz"),
             "--norm", str(d / "datasets" / "mocha60" / "norm.npz"),
             "--cnt-norm", str(d / "datasets" / "mocha60" / "cnt_norm.npz"),
-            "--out", str(d / "results"), "--deterministic"])
+            "--out", str(d / "results"), "--deterministic",
+            "--viz", str(d / "results" / "anim.gif")])
         files = os.listdir(d / "results")
         assert any(f.startswith("Ours_") for f in files)
         assert any(f.startswith("Src_") for f in files)
-        loaded = jbvh.load(str(d / "results" / sorted(files)[-1]))
+        # --viz renders the 4-stream comparison to file (Agg backend)
+        assert (d / "results" / "anim.gif").stat().st_size > 0
+        loaded = jbvh.load(str(
+            d / "results" / sorted(f for f in files if f.endswith(".bvh"))[-1]))
         assert np.isfinite(loaded["rotations"]).all()
         assert np.all(np.isfinite(out["ik_pos"]))
 
