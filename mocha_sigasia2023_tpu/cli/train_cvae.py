@@ -94,12 +94,49 @@ def main(argv=None):
 
     writer = MetricsLogger(os.path.join(args.out, "log"))
     num_iters = args.num_iters or tc.num_iters
-    for it in range(num_iters):
-        metrics = trainer.train_iteration(it)
-        if metrics is None:
+    log_every = int(get_config(args.config).get("log_every", 5))
+
+    # Production loop (the measured fast path, bench.py --train-cvae):
+    # host batch assembly (~90 MB of noise + the NN gather per iteration)
+    # and the H2D upload run in a prefetch thread one batch ahead of the
+    # device rollout, and metrics sync to host only at log points — the
+    # naive assemble-upload-step-sync loop measured 62x slower on
+    # relay-attached hosts (README, --sync-h2d row).
+    import jax
+    import jax.numpy as jnp
+
+    def place(item):
+        it, b = item
+        if b is None:
+            return it, None
+        return it, tuple(jax.device_put(jnp.asarray(a)) for a in b)
+
+    from ..data.dataset import prefetch_batches
+
+    pending = []  # (iteration, device metrics) awaiting one batched fetch
+
+    def flush_metrics():
+        if not pending:
+            return None
+        its = [p[0] for p in pending]
+        vals = np.asarray(jnp.stack([p[1] for p in pending]))  # ONE fetch
+        pending.clear()
+        for i, v in zip(its, vals):
+            metrics = trainer.metrics_dict(i, v)
+            writer.add_scalars(metrics, i)
+        return metrics
+
+    print(f"training {num_iters} iterations "
+          "(prefetched device-placed batches, metrics synced every "
+          f"{log_every} iters)")
+    for it, batch in prefetch_batches(trainer.batch_stream(num_iters),
+                                      place=place):
+        if batch is None:
             continue
-        writer.add_scalars(metrics, it)
-        if (it + 1) % 5 == 0:
+        m = trainer.step_placed(it, batch)
+        pending.append((it, m))
+        if (it + 1) % log_every == 0:
+            metrics = flush_metrics()
             sys.stdout.write(
                 "\riter %7d cnt %.3f enc %.3f kl %.3f dist %.3f" % (
                     it + 1, metrics["cvae/cnt_loss"],
@@ -107,9 +144,11 @@ def main(argv=None):
                     metrics["cvae/dist_loss"]))
             sys.stdout.flush()
         if (it + 1) % args.save_every == 0:
+            flush_metrics()
             path = os.path.join(args.out, f"cvae_{it + 1:06d}.msgpack")
             save_checkpoint(path, {"cvae": trainer.params})
             print(f"\nsaved {path}")
+    flush_metrics()
     path = os.path.join(args.out, f"cvae_{num_iters:06d}.msgpack")
     save_checkpoint(path, {"cvae": trainer.params})
     print(f"\nsaved {path}")

@@ -20,7 +20,7 @@ batched matmul against the per-action character feature matrix.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Iterator, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -297,10 +297,27 @@ class CVAETrainer:
             tc.kl_anneal_end - tc.kl_anneal_start, 1)
         return min(w, 1.0)
 
-    def train_iteration(self, it: int) -> Optional[Dict[str, float]]:
-        batch = self.sample_batch(it)
-        if batch is None:
-            return None
+    def batch_stream(self, num_iters: int) -> Iterator[Tuple[int, Optional[Tuple]]]:
+        """Yield (it, batch-or-None) for ``num_iters`` iterations.
+
+        Host batch assembly (action pick, ~90 MB of noise, NN gather) is
+        the per-iteration serial cost the reference pays inline
+        (train_CVAE.py:181-224); wrapping THIS iterator in
+        data.dataset.prefetch_batches(place=device-put) overlaps it (and
+        the H2D upload) with the device rollout — the measured difference
+        is 0.224 vs 13.8 iters/s on relay-attached hosts (bench.py
+        --train-cvae [--sync-h2d]).  ``None`` batches (underfull action
+        pools) are yielded so the consumer's iteration count stays in step
+        with the sync loop's.
+        """
+        for it in range(num_iters):
+            yield it, self.sample_batch(it)
+
+    def step_placed(self, it: int, batch: Tuple) -> jax.Array:
+        """One training iteration on a pre-placed (or host) batch; returns
+        the DEVICE metrics vector [enc_l1, kl, cnt_l1, dist_l1] WITHOUT
+        syncing — callers convert via :meth:`metrics_dict` when logging,
+        so dispatches chain on-device between log points."""
         src_cnt_nm, cha_enc_nm, cha_cnt_nm, Dgnd = batch
         self.key, sub = jax.random.split(self.key)
         self.params, self.opt_state, m = self._rollout(
@@ -309,6 +326,10 @@ class CVAETrainer:
             jnp.asarray(cha_cnt_nm), jnp.asarray(Dgnd),
             jnp.float32(self.schedule[min(it, len(self.schedule) - 1)]),
             jnp.float32(self.anneal_weight(it)), sub)
+        return m
+
+    def metrics_dict(self, it: int, m) -> Dict[str, float]:
+        """Host-side metric materialization (the sync point)."""
         enc_l1, kl, cnt_l1, dist_l1 = np.asarray(m)
         return {
             "cvae/encoded_loss": float(enc_l1),
@@ -317,6 +338,16 @@ class CVAETrainer:
             "cvae/cnt_loss": float(cnt_l1),
             "cvae/dist_loss": float(dist_l1),
         }
+
+    def train_iteration(self, it: int) -> Optional[Dict[str, float]]:
+        """Synchronous single iteration (assemble + step + metric fetch).
+        The production CLI uses batch_stream + prefetch + step_placed
+        instead; this form is the simple API and the --sync-h2d bench."""
+        batch = self.sample_batch(it)
+        if batch is None:
+            return None
+        m = self.step_placed(it, batch)
+        return self.metrics_dict(it, m)
 
     def norm_artifacts(self) -> Dict[str, np.ndarray]:
         """cvae_norm.npz contents (train_CVAE.py:77-86)."""

@@ -419,6 +419,73 @@ class TestCVAETrainer:
         arts = trainer.norm_artifacts()
         assert arts["std_weight"].shape == (S, D)
 
+    def test_prefetched_loop_matches_sync_loop(self):
+        """The production CLI loop (batch_stream -> prefetch_batches with
+        device placement -> step_placed, metrics fetched in one batched
+        stack) must produce bit-identical params and metrics to the naive
+        per-iteration train_iteration loop from the same seed — the fast
+        path is a scheduling change, not a numeric one."""
+        import jax.numpy as jnp
+
+        from mocha_sigasia2023_tpu.data.dataset import prefetch_batches
+
+        rng = np.random.RandomState(11)
+        S, D, n = 12, 32, 60
+        kw = dict(
+            src_cnt=rng.randn(n, S, D).astype(np.float32),
+            src_action=np.zeros(n, np.int32),
+            src_range_starts=np.array([0]), src_range_stops=np.array([n]),
+            cha_cnt=rng.randn(n, S, D).astype(np.float32),
+            cha_encoded=rng.randn(n, S, D).astype(np.float32),
+            cha_action=np.zeros(n, np.int32),
+            cha_range_starts=np.array([0]), cha_range_stops=np.array([n]),
+            cnt_mean=rng.randn(S, D).astype(np.float32),
+            cnt_std=(rng.rand(S, D) + 0.5).astype(np.float32),
+            target_actions=[0])
+        tc = CVAETrainerConfig(
+            latent_dim=D, depth=1, nheads=2, feedforward_dim=64, nseq=S,
+            rollout_steps=4, batch_size=4, teacher_iters=2,
+            ramping_iters=2, student_iters=2, kl_anneal_end=4)
+        n_iters = 6
+
+        sync = CVAETrainer(tc, **kw)
+        sync_metrics = [sync.train_iteration(i) for i in range(n_iters)]
+
+        pre = CVAETrainer(tc, **kw)
+
+        def place(item):
+            it, b = item
+            if b is None:
+                return it, None
+            return it, tuple(jax.device_put(jnp.asarray(a)) for a in b)
+
+        pending = []
+        pre_metrics = {}
+        for it, batch in prefetch_batches(pre.batch_stream(n_iters),
+                                          place=place):
+            if batch is None:
+                pre_metrics[it] = None
+                continue
+            pending.append((it, pre.step_placed(it, batch)))
+            if len(pending) == 3:  # batched metric fetch, one stack
+                vals = np.asarray(jnp.stack([p[1] for p in pending]))
+                for (i, _), v in zip(pending, vals):
+                    pre_metrics[i] = pre.metrics_dict(i, v)
+                pending.clear()
+        for (i, m) in pending:
+            pre_metrics[i] = pre.metrics_dict(i, np.asarray(m))
+
+        for a, b in zip(jax.tree.leaves(sync.params),
+                        jax.tree.leaves(pre.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for i, ms in enumerate(sync_metrics):
+            if ms is None:
+                assert pre_metrics[i] is None
+                continue
+            for k in ms:
+                np.testing.assert_allclose(pre_metrics[i][k], ms[k],
+                                           rtol=0, atol=0, err_msg=k)
+
     def test_bf16_mixed_precision_tracks_f32(self):
         """compute_dtype='bfloat16' (bench --train-cvae --bf16: bf16
         forwards, f32 master weights + loss tails) must keep f32 params,
