@@ -134,8 +134,9 @@ def main(argv=None):
                     help="deterministic CVAE sampling")
     ap.add_argument("--no-ik", action="store_true")
     ap.add_argument("--seed", type=int, default=1777)
-    ap.add_argument("--viz", default=None, metavar="FILE.mp4",
-                    help="render src/cm/trans/ik side by side to a video")
+    ap.add_argument("--viz", default=None, metavar="FILE.{mp4,gif}",
+                    help="render src/cm/trans/ik side by side to a video "
+                         "(.mp4 needs ffmpeg; .gif uses pillow)")
     ap.add_argument("--production", action="store_true",
                     help="serving mode: skip the NN comparison stream "
                          "(CM output = CVAE output)")
@@ -176,6 +177,17 @@ def main(argv=None):
     else:
         src_paths = [args.src]
     cha_bvh = bvh.load(args.cha)
+    src_bvhs = [bvh.load(p) for p in src_paths]
+    for p, b in zip(src_paths[1:], src_bvhs[1:]):
+        # mixed skeletons would otherwise die in an opaque stack/gather
+        # shape error (or, worse, write BVHs with the wrong hierarchy)
+        if (list(b["names"]) != list(src_bvhs[0]["names"])
+                or not np.array_equal(np.asarray(b["parents"]),
+                                      np.asarray(src_bvhs[0]["parents"]))):
+            raise SystemExit(
+                f"{p}: skeleton differs from {src_paths[0]} — all clips "
+                "in --src-dir must share one hierarchy (joint names and "
+                "parents)")
 
     if args.norm:
         norm = dict(np.load(args.norm))
@@ -194,22 +206,13 @@ def main(argv=None):
         norm = compute_norm_stats(np.asarray(X), np.asarray(Y), np.asarray(root))
         print("note: no --norm given; derived stats from the character clip")
 
-    print("featurizing + encoding source / character clips ...")
-    src_feats_list = [
-        rtf.clip_stream_features(bvh.load(p), params, cfg, norm)
-        for p in src_paths]
-    src_feats = src_feats_list[0]
-    for p, f in zip(src_paths[1:], src_feats_list[1:]):
-        # mixed skeletons would otherwise die in an opaque np.stack shape
-        # error (or, worse, write BVHs with the wrong hierarchy)
-        if (list(f["bone_names"]) != list(src_feats["bone_names"])
-                or not np.array_equal(f["bone_parents"],
-                                      src_feats["bone_parents"])):
-            raise SystemExit(
-                f"{p}: skeleton differs from {src_paths[0]} — all clips "
-                "in --src-dir must share one hierarchy (joint names and "
-                "parents)")
-    cha_feats = rtf.clip_stream_features(cha_bvh, params, cfg, norm)
+    window = int(rt.get("window", 60))
+    print("featurizing + encoding the character clip (one jitted "
+          "program, runtime.features.clip_stream_features_device) ...")
+    cha_feats = rtf.clip_stream_features_device(cha_bvh, params, cfg, norm,
+                                                window=window)
+    cha_feats = {k: (np.asarray(v) if k != "bone_names" else v)
+                 for k, v in cha_feats.items()}
 
     if args.cnt_norm:
         cnt_norm = dict(np.load(args.cnt_norm))
@@ -219,7 +222,7 @@ def main(argv=None):
     cvae_norm = dict(np.load(args.cvae_norm)) if args.cvae_norm else None
 
     consts = build_consts(norm, cnt_norm, cvae_norm, cha_feats)
-    parents = src_feats["bone_parents"]
+    parents = np.concatenate([[-1], np.asarray(src_bvhs[0]["parents"]) + 1])
 
     compute_dtype = jnp.bfloat16 if args.bf16 else None
     if args.bf16:
@@ -229,7 +232,7 @@ def main(argv=None):
                 lambda a: a.astype(jnp.bfloat16), cvae_params)
 
     ensure_dirs(args.out)
-    names = src_feats["bone_names"][1:]
+    names = list(src_bvhs[0]["names"])
     cha_name = os.path.basename(args.cha)
 
     def write_outputs(src_path, o):
@@ -248,24 +251,22 @@ def main(argv=None):
         print(f"wrote {src_out}\nwrote {ours_out}\nwrote {cm_out}")
 
     if args.src_dir:
-        # batched throughput path: all clips run as parallel streams of
-        # ONE scanned program; shorter clips edge-pad to the longest and
-        # outputs are trimmed back per clip
-        lengths = [len(f["encoded"]) for f in src_feats_list]
-        T = max(lengths)
+        # batched throughput path (the program bench.py --e2e measures):
+        # featurize+encode ALL clips in one jitted dispatch per distinct
+        # clip length (runtime.features.batch_stream_features_ragged —
+        # the per-clip dispatch form measured 6.0k frames/s-class vs
+        # 10.8k+ for the batched program), then run every clip as a
+        # parallel stream of ONE scanned program; shorter clips ride
+        # edge-padded and outputs are trimmed back per clip
+        # emit_cnt=False: the runner re-derives cnt from encoded (exact),
+        # halving per-frame stream inputs resident in HBM
+        frame0, xs, lengths, n_groups = rtf.batch_stream_features_ragged(
+            src_bvhs, params, cfg, norm, window=window, emit_cnt=False)
+        print(f"featurize+encode: {n_groups} device dispatch(es) for "
+              f"{len(src_paths)} clips (one jitted "
+              "batch_stream_features_device program per distinct length)")
         print(f"characterizing {len(src_paths)} clips "
               f"({sum(lengths)} frames) as parallel streams ...")
-
-        def pad(a, L):
-            reps = np.repeat(a[-1:], T - L, axis=0)
-            return np.concatenate([np.asarray(a), reps], axis=0)
-
-        from ..runtime.live import LiveCharacterizer
-        feats_stack = {
-            k: np.stack([pad(np.asarray(f[k]), L)
-                         for f, L in zip(src_feats_list, lengths)])
-            for k in LiveCharacterizer.FEAT_KEYS}
-        frame0, xs = rts.stack_stream_inputs(feats_stack)
         runner = rts.make_batch_runner(
             params, cfg, cvae_params, cvae_cfg, consts, parents,
             contact_bones=tuple(rt.get("contact_bones", (5, 24))),
@@ -280,6 +281,8 @@ def main(argv=None):
             write_outputs(p, {k: v[:L, i] for k, v in out.items()})
         return out
 
+    src_feats = rtf.clip_stream_features_device(src_bvhs[0], params, cfg,
+                                                norm, window=window)
     print(f"characterizing {len(src_feats['encoded'])} frames ...")
     out = rts.characterize_clip(
         params, cfg, cvae_params, cvae_cfg, consts, parents, src_feats,

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.dataset import window_xy_features, _window_vel, _window_ang
+from ..data.dataset import window_xy_features, window_vel, window_ang
 from ..kinematics import quat
 from ..data.preprocess import featurize_clip_jit
 from ..data.windows import padded_window_indices, gather_windows, full_window_indices
@@ -152,7 +152,8 @@ def _per_frame_world(feats, bone_parents):
 
 
 def _stream_chunk_outputs(pf, ci, cp, bone_parents, params, cfg,
-                          X_mean, X_std, compute_dtype):
+                          X_mean, X_std, compute_dtype, emit_cnt=True,
+                          skip_encode=False):
     """One chunk of windows -> encoder features + last-frame stream rows,
     from per-frame world-FK arrays (:func:`_per_frame_world`).
 
@@ -164,7 +165,17 @@ def _stream_chunk_outputs(pf, ci, cp, bone_parents, params, cfg,
         the pin) except the root row (identity/zero) and root-child rows
         (which equal the already-computed X rows), so no per-window IK;
       * Y velocities re-derive by finite difference inside the window
-        (same _window_vel/_window_ang, on the cheap reconstructed Y).
+        (same window_vel/window_ang, on the cheap reconstructed Y).
+
+    NOTE on the hoist's float contract: the root-row substitution (exact
+    identity quat / zero pos) and the Lrot/Lpos reuse for non-root-child
+    joints are only float-APPROXIMATELY equal to the oracle's per-window
+    quat.ik round-trip (mul(inv(q), q) is near- but not exactly identity),
+    so this path's outputs sit ~1e-7 off the host oracle.  Correctness
+    rests on (a) fk_vel being linear-homogeneous in the velocity states so
+    post-FK pad masking commutes, and (b) the device==host equivalence
+    test (tests/test_features.py TestClipStreamFeaturesDevice, atol 2e-4)
+    — edits to quat.ik/fk_vel must keep that test green.
     """
     par = np.asarray(bone_parents)
     J = len(par)
@@ -198,24 +209,38 @@ def _stream_chunk_outputs(pf, ci, cp, bone_parents, params, cfg,
     x_in = (X[:, :, 1:] - X_mean[None, None, 1:]) / X_std[None, None, 1:]
     if compute_dtype is not None:
         x_in = x_in.astype(compute_dtype)
-    encoded = gen.encode(params, cfg, x_in)
-    cnt = gen.content_feature(encoded)
+    if skip_encode:
+        # probe-only ablation (scripts/e2e_stage_probe.py): replace the
+        # encoder matmuls with a trivial reduce that still CONSUMES x_in,
+        # so the window-gather/X-derive pipeline can't be dead-code
+        # eliminated — isolates encoder MXU cost from gather bandwidth
+        encoded = jnp.broadcast_to(
+            jnp.mean(x_in, axis=(1, 2, 3), dtype=jnp.float32)
+            [:, None, None],
+            (x_in.shape[0], cfg.num_tokens, cfg.encoder_dim))
+    else:
+        encoded = gen.encode(params, cfg, x_in)
+    # emit_cnt=False: the runtime re-derives cnt from encoded on demand
+    # (it is exactly content_feature(encoded)) — carrying both doubles
+    # per-frame stream inputs, the serving-residency bottleneck
+    cnt = gen.content_feature(encoded) if emit_cnt else None
 
     identq = jnp.asarray([1.0, 0.0, 0.0, 0.0])
     Yrot2 = jnp.where(is_root, identq,
                       jnp.where(is_rchild, Xrot, pf["Lrot"][ci]))
     Ypos2 = jnp.where(is_root, 0.0,
                       jnp.where(is_rchild, Xpos, pf["Lpos"][ci]))
-    Yvel2 = _window_vel(Ypos2)
-    Yang2 = _window_ang(Yrot2)
+    Yvel2 = window_vel(Ypos2)
+    Yang2 = window_ang(Yrot2)
 
     # match the oracle's quat->xform_xy->quat canonicalization of rot_last
     rot_last = quat.from_xform_xy(quat.to_xform_xy(Yrot2[:, -1]))
     last_mask = maskf[:, -1]
     last_idx = ci[:, -1]
+    out_cnt = {} if cnt is None else {"cnt": cnt.astype(jnp.float32)}
     return {
         "encoded": encoded.astype(jnp.float32),
-        "cnt": cnt.astype(jnp.float32),
+        **out_cnt,
         "pos_last": Ypos2[:, -1],
         "rot_last": rot_last,
         "vel_last": Yvel2[:, -1],
@@ -231,7 +256,7 @@ def _stream_chunk_outputs(pf, ci, cp, bone_parents, params, cfg,
 @functools.lru_cache(maxsize=16)
 def _stream_featurizer_jitted(cfg: gen.GeneratorConfig, nframes, order, names,
                               parents, window, mirror, threshold, fps, chunk,
-                              compute_dtype):
+                              compute_dtype, emit_cnt=True):
     from jax import lax
 
     from ..data.preprocess import featurize_clip
@@ -257,7 +282,8 @@ def _stream_featurizer_jitted(cfg: gen.GeneratorConfig, nframes, order, names,
         def do_chunk(c):
             ci, cp = c
             return _stream_chunk_outputs(pf, ci, cp, bone_parents, params,
-                                         cfg, X_mean, X_std, compute_dtype)
+                                         cfg, X_mean, X_std, compute_dtype,
+                                         emit_cnt)
 
         if G == 1:
             out = do_chunk((jnp.asarray(idx_p[0]), jnp.asarray(pad_p[0])))
@@ -272,7 +298,8 @@ def _stream_featurizer_jitted(cfg: gen.GeneratorConfig, nframes, order, names,
 @functools.lru_cache(maxsize=8)
 def _batch_stream_featurizer_jitted(cfg: gen.GeneratorConfig, n_clips,
                                     nframes, order, names, parents, window,
-                                    threshold, fps, chunk, compute_dtype):
+                                    threshold, fps, chunk, compute_dtype,
+                                    emit_cnt=True, skip_encode=False):
     from jax import lax
 
     from ..data.preprocess import featurize_clip
@@ -315,7 +342,8 @@ def _batch_stream_featurizer_jitted(cfg: gen.GeneratorConfig, n_clips,
         def do_chunk(c):
             ci, cp = c
             return _stream_chunk_outputs(pf, ci, cp, bone_parents, params,
-                                         cfg, X_mean, X_std, compute_dtype)
+                                         cfg, X_mean, X_std, compute_dtype,
+                                         emit_cnt, skip_encode)
 
         if G == 1:
             out = do_chunk((jnp.asarray(flat_idx[0]),
@@ -341,7 +369,8 @@ _BSF_KEYS = ("positions", "velocities", "rotations", "angular_velocities",
 def batch_stream_features_device(clips, params, cfg: gen.GeneratorConfig,
                                  norm: Dict[str, np.ndarray], *,
                                  window: int = 60, chunk: int = 256,
-                                 compute_dtype=None):
+                                 compute_dtype=None, emit_cnt: bool = True,
+                                 skip_encode: bool = False):
     """Featurize+encode MANY same-length, same-skeleton clips as ONE jitted
     program emitting the (frame0, xs) pytrees make_batch_runner consumes.
 
@@ -360,17 +389,69 @@ def batch_stream_features_device(clips, params, cfg: gen.GeneratorConfig,
         cfg, len(clips), rot.shape[1], c0["order"], tuple(c0["names"]),
         tuple(int(p) for p in c0["parents"]), int(window), 0.5, 60.0,
         int(chunk),
-        None if compute_dtype is None else jnp.dtype(compute_dtype).name)
+        None if compute_dtype is None else jnp.dtype(compute_dtype).name,
+        bool(emit_cnt), bool(skip_encode))
     return fn(params, jnp.asarray(norm["X_mean"], jnp.float32),
               jnp.asarray(norm["X_std"], jnp.float32), rot, pos)
+
+
+def batch_stream_features_ragged(clips, params, cfg: gen.GeneratorConfig,
+                                 norm: Dict[str, np.ndarray], *,
+                                 window: int = 60, chunk: int = 256,
+                                 compute_dtype=None, emit_cnt: bool = True):
+    """Featurize+encode clips of MIXED lengths as FEW jitted dispatches:
+    clips group by frame count and each group runs through
+    :func:`batch_stream_features_device` — one program per distinct
+    length instead of one per clip (featurize math is per-clip identical,
+    so grouping is exact, unlike raw-frame padding which would shift the
+    savgol/velocity edge handling of real frames).
+
+    This is the CLI serving path for ``characterize --src-dir``
+    (the reference flow at test_fullframework.py:124-203 per clip): the
+    per-clip dispatch form measured 6.0k frames/s-class on relay hosts
+    (per-dispatch RTT + ~20 host stacks each); the grouped form costs one
+    dispatch per distinct clip length.
+
+    Returns ``(frame0, xs, n_windows, n_groups)``: the make_batch_runner
+    input pytrees with shorter clips' window rows edge-padded
+    (repeat-last) to the longest clip's count — callers trim outputs with
+    the true per-clip ``n_windows``.
+    """
+    lengths = [int(np.asarray(c["rotations"]).shape[0]) for c in clips]
+    groups: Dict[int, list] = {}
+    for i, L in enumerate(lengths):
+        groups.setdefault(L, []).append(i)
+    n_w = {L: len(padded_window_indices(L, window, 1)[0]) for L in groups}
+    w_max = max(n_w.values())
+
+    f0_parts, xs_parts, order = [], [], []
+    for L in sorted(groups):
+        idxs = groups[L]
+        frame0_g, xs_g = batch_stream_features_device(
+            [clips[i] for i in idxs], params, cfg, norm, window=window,
+            chunk=chunk, compute_dtype=compute_dtype, emit_cnt=emit_cnt)
+        pad_t = (w_max - 1) - (n_w[L] - 1)
+        if pad_t:
+            xs_g = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], pad_t, axis=0)], axis=0), xs_g)
+        f0_parts.append(frame0_g)
+        xs_parts.append(xs_g)
+        order += idxs
+    frame0 = jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *f0_parts)
+    xs = jax.tree.map(lambda *a: jnp.concatenate(a, axis=1), *xs_parts)
+    inv = np.argsort(np.asarray(order))  # back to input clip order
+    frame0 = jax.tree.map(lambda a: a[inv], frame0)
+    xs = jax.tree.map(lambda a: a[:, inv], xs)
+    return frame0, xs, [n_w[L] for L in lengths], len(groups)
 
 
 def clip_stream_features_device(bvh_data: Dict, params,
                                 cfg: gen.GeneratorConfig,
                                 norm: Dict[str, np.ndarray], *,
                                 window: int = 60, mirror: bool = False,
-                                chunk: int = 256,
-                                compute_dtype=None) -> Dict:
+                                chunk: int = 256, compute_dtype=None,
+                                emit_cnt: bool = True) -> Dict:
     """Device-resident equivalent of :func:`clip_stream_features`: the whole
     featurize -> sliding-window gather -> X/Y derive -> encode pipeline runs
     as ONE jitted XLA program per clip length (long clips process in
@@ -389,7 +470,8 @@ def clip_stream_features_device(bvh_data: Dict, params,
         cfg, rot.shape[0], bvh_data["order"], tuple(bvh_data["names"]),
         tuple(int(p) for p in bvh_data["parents"]), int(window), bool(mirror),
         0.5, 60.0, int(chunk),
-        None if compute_dtype is None else jnp.dtype(compute_dtype).name)
+        None if compute_dtype is None else jnp.dtype(compute_dtype).name,
+        bool(emit_cnt))
     out = dict(fn(params, jnp.asarray(norm["X_mean"], jnp.float32),
                   jnp.asarray(norm["X_std"], jnp.float32), rot, pos))
     out["bone_parents"] = np.concatenate(

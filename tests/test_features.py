@@ -160,6 +160,43 @@ class TestClipStreamFeaturesDevice:
             np.testing.assert_allclose(np.asarray(xs[k]), expx,
                                        atol=1e-5, err_msg=k)
 
+    def test_ragged_grouped_equals_per_clip(self, setup):
+        """batch_stream_features_ragged (the characterize --src-dir path:
+        one dispatch per distinct clip length, merged back in input order
+        with edge-padded window rows) must equal the per-clip device
+        featurizer exactly on each clip's true window range."""
+        from helpers import make_mocha_bvh_data
+
+        s = setup
+        lengths = [90, 110, 90, 100]
+        clips = [make_mocha_bvh_data(T=L, seed=20 + i)
+                 for i, L in enumerate(lengths)]
+        frame0, xs, n_w, n_groups = rtf.batch_stream_features_ragged(
+            clips, s["params"], s["cfg"], s["norm"], chunk=64)
+        assert n_groups == 3  # lengths {90, 100, 110}
+        assert n_w == [L - 15 for L in lengths]  # T - window//4 windows
+
+        per = [rtf.clip_stream_features_device(c, s["params"], s["cfg"],
+                                               s["norm"])
+               for c in clips]
+        w_max = max(n_w)
+        for k in frame0:
+            for i, p in enumerate(per):
+                np.testing.assert_allclose(
+                    np.asarray(frame0[k][i]), np.asarray(p[k][0]),
+                    atol=1e-5, err_msg=f"{k} clip {i} frame0")
+                got = np.asarray(xs[k][:, i])
+                assert got.shape[0] == w_max - 1
+                np.testing.assert_allclose(
+                    got[:n_w[i] - 1], np.asarray(p[k][1:]),
+                    atol=1e-5, err_msg=f"{k} clip {i}")
+                # pad region repeats the clip's last true window row
+                if n_w[i] < w_max:
+                    np.testing.assert_array_equal(
+                        got[n_w[i] - 1:],
+                        np.broadcast_to(got[n_w[i] - 2],
+                                        got[n_w[i] - 1:].shape))
+
     def test_chunked_equals_unchunked(self, setup):
         """lax.map chunking (long-clip memory bound) must not change
         results or window counts."""
