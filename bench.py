@@ -68,6 +68,16 @@ def main():
     ap.add_argument("--deterministic", action="store_true",
                     help="deterministic CVAE sampling (z = prior mu, no "
                          "RNG draws; ablation for the PRNG cost)")
+    ap.add_argument("--carry-cnt", action="store_true",
+                    help="carry the redundant per-frame cnt array through "
+                         "the stream scan (the pre-r4 form; cnt is exactly "
+                         "mean_variance_norm(encoded), so the default "
+                         "re-derives it on demand — halves per-frame "
+                         "stream inputs, unblocks --streams 256)")
+    ap.add_argument("--db-bf16", action="store_true",
+                    help="store the character database stack (encoded rows "
+                         "+ cnt matrix) in bf16 — halves its HBM, fits the "
+                         "30-style roster at 2048 rows/character")
     ap.add_argument("--rbg-prng", action="store_true",
                     help="use the counter-based rbg PRNG for the CVAE "
                          "noise (measured 21% SLOWER than threefry on "
@@ -218,7 +228,6 @@ def bench_steploop(args):
 
     feats = {
         "encoded": rng.randn(S, T, tok, dim).astype(np.float32),
-        "cnt": rng.randn(S, T, tok, dim).astype(np.float32),
         "pos_last": rng.randn(S, T, J, 3).astype(np.float32) * 0.1,
         "rot_last": np.tile(np.array([1, 0, 0, 0], np.float32), (S, T, J, 1)),
         "vel_last": rng.randn(S, T, J, 3).astype(np.float32) * 0.1,
@@ -253,16 +262,31 @@ def bench_steploop(args):
         cvae_params = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16), cvae_params)
     if args.live:
+        # the live path feeds per-frame host dicts; keep the cnt array
+        # (LiveCharacterizer.FEAT_KEYS contract)
+        feats["cnt"] = rng.randn(S, T, tok, dim).astype(np.float32)
         return bench_live(args, params, cfg, cvae_params, cvae_cfg, consts,
                           parents, feats)
+    if args.carry_cnt:
+        # pre-r4 form: stream an explicit (redundant) cnt array; the
+        # default re-derives cnt = mean_variance_norm(encoded) on demand.
+        # With --carry-cnt the synthetic cnt must be the self-consistent
+        # value or the two forms measure different CVAE conditions.
+        from mocha_sigasia2023_tpu.models.generator import content_feature
+        feats["cnt"] = np.asarray(jax.jit(content_feature)(
+            jnp.asarray(feats["encoded"])))
 
-    from mocha_sigasia2023_tpu.runtime.stream import IKConfig, stack_consts
+    from mocha_sigasia2023_tpu.runtime.stream import (
+        IKConfig, cast_database, stack_consts,
+    )
     multi = args.characters > 1
     if multi:
         # N characters: shift the one synthetic database per character
         consts = stack_consts([
             consts._replace(cha_encoded=consts.cha_encoded + 0.01 * c)
             for c in range(args.characters)])
+    if args.db_bf16:
+        consts = cast_database(consts, jnp.bfloat16)
     runner = make_batch_runner(params, cfg, cvae_params, cvae_cfg, consts,
                                parents, compute_cm=not args.single_stream,
                                ik=IKConfig(enabled=not args.no_ik),
@@ -395,6 +419,9 @@ def bench_e2e(args):
     log("character database ready")
     cnt_norm = rtf.compute_cnt_norm(cha_feats["encoded"], cha_feats["cnt"])
     consts = build_consts(norm, cnt_norm, None, cha_feats)
+    if args.db_bf16:
+        from mocha_sigasia2023_tpu.runtime.stream import cast_database
+        consts = cast_database(consts, jnp.bfloat16)
     parents = cha_feats["bone_parents"]
 
     runner = make_batch_runner(params, cfg, cvae_params, cvae_cfg, consts,
@@ -417,8 +444,11 @@ def bench_e2e(args):
                   "names": src_clips[0]["names"],
                   "parents": src_clips[0]["parents"]}
                  for r, p in zip(src_rot, src_pos)]
+        # emit_cnt=False: the runner re-derives cnt from encoded (exact) —
+        # the shipped CLI form (characterize --src-dir)
         frame0, xs = rtf.batch_stream_features_device(
-            clips, params, cfg, norm, compute_dtype=compute_dtype)
+            clips, params, cfg, norm, compute_dtype=compute_dtype,
+            emit_cnt=args.carry_cnt)
         out = runner(frame0, xs, ks)
         np.asarray(out["nn_index"])  # host fetch = completion barrier
 

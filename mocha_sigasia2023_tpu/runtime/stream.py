@@ -283,6 +283,13 @@ def make_stream_step(cfg: gen.GeneratorConfig,
     def step(ctx, carry: StreamCarry, x: Dict):
         params, cvae_params, consts = ctx
         key = carry.key
+        # cnt is EXACTLY mean_variance_norm(encoded) (model.py:96-98), so
+        # streams need not carry it: when absent it re-derives here from
+        # the encoded the step already consumes (a ~90x256 norm — noise
+        # next to the CVAE/decoder matmuls).  Carrying both doubles the
+        # per-frame stream inputs resident in HBM (the S=256 OOM).
+        cnt = (x["cnt"] if "cnt" in x
+               else gen.content_feature(x["encoded"]))
         # --- context matching -------------------------------------------
         if "nn_idx" in x:
             # precomputed by the batch runner's hoisted matcher (the NN
@@ -290,7 +297,7 @@ def make_stream_step(cfg: gen.GeneratorConfig,
             # T x S matches run as one pre-scan einsum)
             idx = x["nn_idx"]
         else:
-            src_cnt_nm = (x["cnt"] - consts.cnt_mean) / consts.cnt_std
+            src_cnt_nm = (cnt - consts.cnt_mean) / consts.cnt_std
             q_flat = src_cnt_nm.reshape(-1)
             db_flat = consts.cha_cnt_flat
             if compute_dtype is not None:
@@ -299,12 +306,13 @@ def make_stream_step(cfg: gen.GeneratorConfig,
                 q_flat = q_flat.astype(compute_dtype)
                 db_flat = db_flat.astype(compute_dtype)
             idx = nn_index(q_flat, db_flat, consts.cha_cnt_sq)
-        nn_cha_encoded = consts.cha_encoded[idx]
+        # cast covers bf16-stored database stacks (cast_database)
+        nn_cha_encoded = consts.cha_encoded[idx].astype(jnp.float32)
 
         if use_cvae:
             condition = jnp.concatenate(
                 [
-                    (x["cnt"] - consts.src_cnt_mean) / consts.src_cnt_std,
+                    (cnt - consts.src_cnt_mean) / consts.src_cnt_std,
                     (carry.prev_cha_encoded - consts.cha_encoded_mean)
                     / consts.cha_encoded_std,
                 ],
@@ -419,10 +427,12 @@ def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
     if "nn_idx" in frame0:
         idx = frame0["nn_idx"]  # precomputed by the batch runner
     else:
-        src_cnt_nm = (frame0["cnt"] - consts.cnt_mean) / consts.cnt_std
+        cnt = (frame0["cnt"] if "cnt" in frame0
+               else gen.content_feature(frame0["encoded"]))
+        src_cnt_nm = (cnt - consts.cnt_mean) / consts.cnt_std
         idx = nn_index(src_cnt_nm.reshape(-1), consts.cha_cnt_flat,
                        consts.cha_cnt_sq)
-    cha_enc = consts.cha_encoded[idx]
+    cha_enc = consts.cha_encoded[idx].astype(jnp.float32)
 
     t_pos, t_rot, t_vel, t_ang, t_speed = _decode_frame(
         params, cfg, consts, frame0["encoded"], cha_enc, lean=lean_decode)
@@ -480,12 +490,20 @@ def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
 
 def _as_f32_feats(stream_feats: Dict) -> Dict:
     """Load the stream feature pytree as f32 (contact included) — explicit
-    so enabling x64 for f64 root accumulators can't promote the inputs."""
-    feat_keys = ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
+    so enabling x64 for f64 root accumulators can't promote the inputs.
+
+    "cnt" is optional: featurizers called with emit_cnt=False drop it and
+    the runtime re-derives it from encoded (it is exactly
+    mean_variance_norm(encoded)), halving per-frame stream residency."""
+    feat_keys = ("encoded", "pos_last", "rot_last", "vel_last",
                  "ang_last", "rvel_last", "rang_last", "contact_last",
                  "hips_speed_mean")
-    return {k: jnp.asarray(np.asarray(stream_feats[k]), jnp.float32)
-            for k in feat_keys}
+    out = {k: jnp.asarray(np.asarray(stream_feats[k]), jnp.float32)
+           for k in feat_keys}
+    if "cnt" in stream_feats:
+        out["cnt"] = jnp.asarray(np.asarray(stream_feats["cnt"]),
+                                 jnp.float32)
+    return out
 
 
 def characterize_clip(params, cfg, cvae_params, cvae_cfg,
@@ -572,32 +590,58 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
         # ---- hoisted context matching -----------------------------------
         # The NN query is a pure function of the per-frame SOURCE cnt
         # (test_fullframework.py:443) — no dependence on the stream carry —
-        # so every (frame, stream) match runs as ONE einsum before the
-        # scan instead of T per-frame matmuls inside it.  Multi-character
-        # sessions use the grouped matcher: C*G*M*D total (G = largest
-        # per-character stream count) vs the masked full-stack form's
-        # S*C*M*D — the C=1 cost for an even character distribution.
-        cnt_all = jnp.concatenate([frame0["cnt"][None], xs["cnt"]], axis=0)
-        if char_ids is None:
-            q = (cnt_all - consts.cnt_mean) / consts.cnt_std
+        # so every (frame, stream) match runs as a pre-scan einsum instead
+        # of T per-frame matmuls inside it.  Multi-character sessions use
+        # the grouped matcher: C*G*M*D total (G = largest per-character
+        # stream count) vs the masked full-stack form's S*C*M*D — the C=1
+        # cost for an even character distribution.
+        def match(cnt_chunk):
+            """(Tc, S, tok, dim) cnt -> (Tc, S) database indices."""
+            if char_ids is None:
+                q = (cnt_chunk - consts.cnt_mean) / consts.cnt_std
+            else:
+                q = (cnt_chunk - consts.cnt_mean[char_ids]) \
+                    / consts.cnt_std[char_ids]
             q = q.reshape(q.shape[:2] + (-1,))
-            db = consts.cha_cnt_flat
+            db = consts.cha_cnt_flat  # (M, D) or (C, M, D)
             if compute_dtype is not None:
                 q = q.astype(compute_dtype)
                 db = db.astype(compute_dtype)
-            idx_all = nn_index(q, db, consts.cha_cnt_sq)
+            if char_ids is None:
+                return nn_index(q, db, consts.cha_cnt_sq)
+            return nn_index_grouped(q, db, consts.cha_cnt_sq, char_ids,
+                                    group_size)
+
+        if "cnt" in xs:
+            cnt_all = jnp.concatenate([frame0["cnt"][None], xs["cnt"]],
+                                      axis=0)
+            idx_all = match(cnt_all)
+            idx0, idx_xs = idx_all[0], idx_all[1:]
         else:
-            q = (cnt_all - consts.cnt_mean[char_ids]) \
-                / consts.cnt_std[char_ids]
-            q = q.reshape(q.shape[:2] + (-1,))
-            db = consts.cha_cnt_flat  # (C, M, D)
-            if compute_dtype is not None:
-                q = q.astype(compute_dtype)
-                db = db.astype(compute_dtype)
-            idx_all = nn_index_grouped(q, db, consts.cha_cnt_sq, char_ids,
-                                       group_size)
-        frame0 = dict(frame0, nn_idx=idx_all[0])
-        xs = dict(xs, nn_idx=idx_all[1:])
+            # cnt dropped from the streams (it is exactly
+            # mean_variance_norm(encoded)): re-derive it here in TIME
+            # CHUNKS so the (T, S, tok, dim) cnt temp never materializes —
+            # carrying it doubled the per-frame stream inputs and fed the
+            # S=256 OOM.  Chunks overlap at the tail (identical rewrites)
+            # to keep shapes static.
+            idx0 = match(gen.content_feature(frame0["encoded"])[None])[0]
+            enc = xs["encoded"]
+            T = enc.shape[0]
+            tchunk = min(32, T)
+            nsteps = -(-T // tchunk)
+
+            def body(i, acc):
+                start = jnp.minimum(i * tchunk, T - tchunk)
+                chunk = lax.dynamic_slice_in_dim(enc, start, tchunk, axis=0)
+                idx = match(gen.content_feature(chunk))
+                return lax.dynamic_update_slice_in_dim(acc, idx, start,
+                                                       axis=0)
+
+            idx_xs = lax.fori_loop(
+                0, nsteps, body,
+                jnp.zeros((T, enc.shape[1]), jnp.int32))
+        frame0 = dict(frame0, nn_idx=idx0)
+        xs = dict(xs, nn_idx=idx_xs)
 
         def consts_for(cid):
             if char_ids is None:
@@ -676,7 +720,7 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
             return run(params, cvae_params, consts, frame0, xs, keys, None)
 
     # expose the inner jitted fn + bound context for AOT cost analysis /
-    # profiling (scripts/serve_cost_probe.py)
+    # profiling (same pattern as scripts/train_cost_probe.py)
     runner._inner = run
     runner._ctx = (params, cvae_params, consts)
     return runner
@@ -705,6 +749,21 @@ def pad_character_database(consts: RuntimeConsts, target_m: int) -> RuntimeConst
         cha_cnt_sq=jnp.concatenate(
             [consts.cha_cnt_sq,
              jnp.full((pad,), jnp.inf, consts.cha_cnt_sq.dtype)]),
+    )
+
+
+def cast_database(consts: RuntimeConsts, dtype) -> RuntimeConsts:
+    """Store the big per-character database arrays (encoded rows + the
+    normalized cnt matrix) in ``dtype`` (bf16 halves them — the full
+    30-style roster at 2048 rows each is ~11 GB in f32, over half of a
+    16 GB chip).  The |x|^2 norms stay f32 (cheap, and the argmin is a
+    near-tie decider); gathered encoded rows cast back to f32 at use.
+    NN picks can flip on exact ties vs the f32 stack — same contract as
+    the bf16 compute knob (README bf16 fidelity row)."""
+    dtype = jnp.dtype(dtype)
+    return consts._replace(
+        cha_encoded=consts.cha_encoded.astype(dtype),
+        cha_cnt_flat=consts.cha_cnt_flat.astype(dtype),
     )
 
 

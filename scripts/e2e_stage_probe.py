@@ -4,18 +4,36 @@ stream scan, timed separately with a host-sync between (bench.py --e2e
 times them back-to-back as production runs them).
 
 Also ablates the featurize+encode program itself: full program vs
-encoder-matmuls-skipped (returns the raw X-derived features with zero
-encode) to separate window-gather/FK bandwidth cost from encoder MXU cost.
+encoder-matmuls-skipped (skip_encode=True replaces the encoder with a
+trivial reduce that still consumes the normalized X windows) to separate
+window-gather/FK bandwidth cost from encoder MXU cost, and reports each
+program's XLA cost-analysis FLOPs/bytes with the achieved TFLOP/s and
+HBM GB/s they imply.
 
 Usage: python scripts/e2e_stage_probe.py [--streams 64] [--frames 240]
+           [--chunk 256] [--carry-cnt]
 """
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def aot_cost(jitted_cached_fn, *args):
+    """flops / bytes accessed from XLA's own cost model for a jitted fn."""
+    try:
+        c = jitted_cached_fn.lower(*args).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(
+            c.get("bytes accessed", 0.0))
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"  (cost analysis unavailable: {e})")
+        return None, None
 
 
 def main():
@@ -24,9 +42,16 @@ def main():
     ap.add_argument("--frames", type=int, default=240)
     ap.add_argument("--db-size", type=int, default=2048)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=256,
+                    help="encoder windows per lax.map step in the "
+                         "featurize program")
+    ap.add_argument("--carry-cnt", action="store_true",
+                    help="emit + stream the redundant cnt array "
+                         "(the pre-r4 form)")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from mocha_sigasia2023_tpu.cli.characterize import build_consts
     from mocha_sigasia2023_tpu.data.synthetic import make_mocha_bvh_data
@@ -83,15 +108,17 @@ def main():
               "names": src_clips[0]["names"],
               "parents": src_clips[0]["parents"]}
              for r, p in zip(src_rot, src_pos)]
+    emit_cnt = bool(args.carry_cnt)
 
     def sync(tree):
         leaves = jax.tree.leaves(tree)
         np.asarray(leaves[0].reshape(-1)[:1])
 
-    def t_featurize():
+    def t_featurize(skip_encode=False):
         t0 = time.perf_counter()
         frame0, xs = rtf.batch_stream_features_device(
-            clips, params, cfg, norm)
+            clips, params, cfg, norm, chunk=args.chunk, emit_cnt=emit_cnt,
+            skip_encode=skip_encode)
         sync(xs)
         return time.perf_counter() - t0, (frame0, xs)
 
@@ -101,24 +128,55 @@ def main():
         np.asarray(out["nn_index"])
         return time.perf_counter() - t0
 
-    # warm both programs
+    # warm all three programs
     for _ in range(2):
         _, (frame0, xs) = t_featurize()
+        t_featurize(skip_encode=True)
         t_scan(frame0, xs, keys)
 
-    feat_ts, scan_ts = [], []
+    feat_ts, skip_ts, scan_ts = [], [], []
     for r in range(args.repeats):
         ks = jax.random.split(jax.random.PRNGKey(100 + r), S)
         ft, (frame0, xs) = t_featurize()
+        sk, _ = t_featurize(skip_encode=True)
         st = t_scan(frame0, xs, ks)
         feat_ts.append(ft)
+        skip_ts.append(sk)
         scan_ts.append(st)
 
+    # ---- XLA's own cost model for the two programs ----------------------
+    c0 = clips[0]
+    feat_fn = rtf._batch_stream_featurizer_jitted(
+        cfg, len(clips), np.asarray(c0["rotations"]).shape[0], c0["order"],
+        tuple(c0["names"]), tuple(int(p) for p in c0["parents"]), win, 0.5,
+        60.0, int(args.chunk), None, emit_cnt, False)
+    rot = jnp.asarray(np.stack(src_rot))
+    pos = jnp.asarray(np.stack(src_pos))
+    feat_flops, feat_bytes = aot_cost(
+        feat_fn, params, jnp.asarray(norm["X_mean"], jnp.float32),
+        jnp.asarray(norm["X_std"], jnp.float32), rot, pos)
+    scan_flops, scan_bytes = aot_cost(
+        runner._inner, *runner._ctx, frame0, xs, keys, None)
+
     n = S * F
-    ft, st = min(feat_ts), min(scan_ts)
-    print(f"streams={S} frames={F} total_frames={n}")
+    ft, sk, st = min(feat_ts), min(skip_ts), min(scan_ts)
+    print(f"streams={S} frames={F} total_frames={n} chunk={args.chunk} "
+          f"emit_cnt={emit_cnt}")
     print(f"featurize+encode: {ft*1e3:8.1f} ms  ({n/ft:9.0f} frames/s alone)")
+    print(f"  encode-skipped: {sk*1e3:8.1f} ms  ({n/sk:9.0f} frames/s) -> "
+          f"encoder matmuls ~{(ft-sk)*1e3:.1f} ms "
+          f"({(ft-sk)/ft*100:.0f}% of the stage)")
+    if feat_flops:
+        print(f"  XLA cost model: {feat_flops/1e9:.1f} GFLOP, "
+              f"{feat_bytes/1e9:.2f} GB accessed -> achieved "
+              f"{feat_flops/ft/1e12:.1f} TFLOP/s, {feat_bytes/ft/1e9:.0f} "
+              "GB/s")
     print(f"stream scan:      {st*1e3:8.1f} ms  ({n/st:9.0f} frames/s alone)")
+    if scan_flops:
+        print(f"  XLA cost model: {scan_flops/1e9:.1f} GFLOP, "
+              f"{scan_bytes/1e9:.2f} GB accessed -> achieved "
+              f"{scan_flops/st/1e12:.1f} TFLOP/s, {scan_bytes/st/1e9:.0f} "
+              "GB/s")
     print(f"serial e2e:       {(ft+st)*1e3:8.1f} ms  ({n/(ft+st):9.0f} "
           "frames/s)")
     print(f"featurize share:  {ft/(ft+st)*100:5.1f}%")

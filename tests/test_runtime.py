@@ -421,6 +421,120 @@ class TestDeterminism:
         assert not np.array_equal(out1["trans_pos"], out3["trans_pos"])
 
 
+class TestDroppedCntStream:
+    """cnt is exactly mean_variance_norm(encoded) (model.py:96-98), so the
+    r4 runtime re-derives it on demand instead of streaming a redundant
+    (T, S, 90, 256) array next to encoded — halving per-frame stream
+    inputs (the S=256 OOM was fed by exactly this)."""
+
+    FEAT_KEYS = ("encoded", "cnt", "pos_last", "rot_last", "vel_last",
+                 "ang_last", "rvel_last", "rang_last", "contact_last",
+                 "hips_speed_mean")
+
+    def test_batch_runner_dropped_cnt_matches_carried(self, setup):
+        s = setup
+        feats = {k: np.stack([np.asarray(s["src_feats"][k])] * 2)
+                 for k in self.FEAT_KEYS}
+        runner = rts.make_batch_runner(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], deterministic=True)
+        keys = jax.random.split(jax.random.PRNGKey(3), 2)
+
+        frame0, xs = rts.stack_stream_inputs(feats)
+        a = jax.tree.map(np.asarray, runner(frame0, xs, keys))
+
+        feats_nc = {k: v for k, v in feats.items() if k != "cnt"}
+        f0b, xsb = rts.stack_stream_inputs(feats_nc)
+        assert "cnt" not in f0b and "cnt" not in xsb
+        b = jax.tree.map(np.asarray, runner(f0b, xsb, keys))
+
+        np.testing.assert_array_equal(a["nn_index"], b["nn_index"])
+        for k in ("trans_pos", "ik_pos", "cm_pos", "src_pos"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=k)
+
+    def test_characterize_clip_without_cnt(self, setup):
+        """The single-clip scan (in-scan NN match) must also accept
+        cnt-less features — emit_cnt=False featurizer outputs."""
+        s = setup
+        feats_nc = {k: v for k, v in s["src_feats"].items() if k != "cnt"}
+        a = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            key=jax.random.PRNGKey(5))
+        b = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], feats_nc, deterministic=True,
+            key=jax.random.PRNGKey(5))
+        np.testing.assert_array_equal(a["nn_index"], b["nn_index"])
+        for k in ("trans_pos", "ik_pos", "cm_pos"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=k)
+
+    def test_emit_cnt_false_featurizer_drops_key(self, setup):
+        s = setup
+        clip = make_mocha_bvh_data(T=90, seed=31)
+        out = rtf.clip_stream_features_device(
+            clip, s["params"], s["cfg"], s["norm"], emit_cnt=False)
+        assert "cnt" not in out and "encoded" in out
+        full = rtf.clip_stream_features_device(
+            clip, s["params"], s["cfg"], s["norm"])
+        np.testing.assert_allclose(np.asarray(out["encoded"]),
+                                   np.asarray(full["encoded"]), atol=1e-6)
+
+
+class TestDbBf16:
+    def test_bf16_database_equals_prerounded_f32(self, setup):
+        """cast_database (bf16 storage for the character stack — halves
+        its HBM, fits the 30-style roster) must equal an f32 run whose
+        database rows were pre-rounded through bf16: the bf16 operands
+        promote exactly to f32 in the score matmul and the gathered
+        encoded rows cast back to f32 at use."""
+        s = setup
+
+        def round16(a):
+            return jnp.asarray(a).astype(jnp.bfloat16).astype(jnp.float32)
+
+        consts16 = rts.cast_database(s["consts"], jnp.bfloat16)
+        assert consts16.cha_encoded.dtype == jnp.bfloat16
+        assert consts16.cha_cnt_sq.dtype == jnp.float32
+        consts_r = s["consts"]._replace(
+            cha_encoded=round16(s["consts"].cha_encoded),
+            cha_cnt_flat=round16(s["consts"].cha_cnt_flat))
+
+        a = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            consts16, s["parents"], s["src_feats"], deterministic=True,
+            key=jax.random.PRNGKey(5))
+        b = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            consts_r, s["parents"], s["src_feats"], deterministic=True,
+            key=jax.random.PRNGKey(5))
+        np.testing.assert_array_equal(a["nn_index"], b["nn_index"])
+        for k in ("trans_pos", "ik_pos", "cm_pos"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
+        assert np.all(np.isfinite(a["ik_pos"]))
+
+    def test_bf16_database_close_to_f32(self, setup):
+        """Serving quality vs the f32 stack: rounding the database rows
+        perturbs NN scores and the decoder's character input by bf16 eps;
+        the 0.5-blend decays it — positions stay within the documented
+        bf16 serving envelope on this oracle clip."""
+        s = setup
+        consts16 = rts.cast_database(s["consts"], jnp.bfloat16)
+        a = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], s["src_feats"], deterministic=True,
+            key=jax.random.PRNGKey(5))
+        b = rts.characterize_clip(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            consts16, s["parents"], s["src_feats"], deterministic=True,
+            key=jax.random.PRNGKey(5))
+        same_nn = np.mean(a["nn_index"] == b["nn_index"])
+        assert same_nn >= 0.9, f"NN picks diverged: {same_nn:.2%} identical"
+        mask = (a["nn_index"] == b["nn_index"])
+        diff = np.abs(a["trans_pos"] - b["trans_pos"])[mask].max()
+        assert diff <= 2e-2, f"trans_pos diff {diff:.3e} on matched frames"
+
+
 class TestFusedDecodes:
     def test_fused_decode_matches_separate(self, setup):
         """fuse_decodes=True (one K=2 batched decoder call per frame) must
@@ -550,6 +664,43 @@ class TestMultiCharacterServing:
             np.testing.assert_allclose(
                 np.asarray(unequal[k]), np.asarray(equal[k])[:, :3],
                 atol=1e-5, rtol=1e-4, err_msg=k)
+
+    def test_multi_character_dropped_cnt_matches_carried(self, setup):
+        """The dropped-cnt stream form must also hold under
+        multi_character (the grouped matcher runs inside the chunked
+        fori_loop recompute) — the 30-style-roster serving config is
+        dropped-cnt + stacked databases."""
+        s = setup
+        bf = s["src_feats"]
+        cnt_mean = bf["cnt"].mean(axis=0)
+        cnt_std = bf["cnt"].std(axis=0) + 1e-6
+        flat = ((bf["cnt"] - cnt_mean) / cnt_std).reshape(len(bf["cnt"]), -1)
+        consts_b = s["consts"]._replace(
+            cha_encoded=jnp.asarray(bf["encoded"]),
+            cha_cnt_flat=jnp.asarray(flat),
+            cha_cnt_sq=jnp.asarray((flat ** 2).sum(-1)),
+            cnt_mean=jnp.asarray(cnt_mean), cnt_std=jnp.asarray(cnt_std),
+            src_cnt_mean=jnp.asarray(cnt_mean),
+            src_cnt_std=jnp.asarray(cnt_std),
+            cha_encoded_mean=jnp.asarray(bf["encoded"].mean(axis=0)),
+            cha_encoded_std=jnp.asarray(bf["encoded"].std(axis=0) + 1e-6))
+        runner = rts.make_batch_runner(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            rts.stack_consts([s["consts"], consts_b]), s["parents"],
+            deterministic=True, multi_character=True)
+
+        feats = {k: np.stack([np.asarray(s["src_feats"][k])] * 3)
+                 for k in LiveCharacterizer.FEAT_KEYS}
+        cids = np.array([0, 1, 0], np.int32)
+        keys = jnp.stack([jax.random.PRNGKey(3)] * 3)
+        frame0, xs = rts.stack_stream_inputs(feats)
+        a = jax.tree.map(np.asarray, runner(frame0, xs, keys, cids))
+        feats_nc = {k: v for k, v in feats.items() if k != "cnt"}
+        f0b, xsb = rts.stack_stream_inputs(feats_nc)
+        b = jax.tree.map(np.asarray, runner(f0b, xsb, keys, cids))
+        np.testing.assert_array_equal(a["nn_index"], b["nn_index"])
+        for k in ("trans_pos", "ik_pos", "cm_pos"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=k)
 
     def test_grouped_matcher_equals_masked_form(self):
         """nn_index_grouped (the near-C-independent grouped einsum) must
