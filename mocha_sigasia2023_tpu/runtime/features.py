@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.dataset import window_xy_features, window_vel, window_ang
+from ..data.dataset import window_xy_features, window_vel
 from ..kinematics import quat
 from ..data.preprocess import featurize_clip_jit
 from ..data.windows import padded_window_indices, gather_windows, full_window_indices
@@ -121,6 +121,33 @@ def clip_stream_features(bvh_data: Dict, params, cfg: gen.GeneratorConfig,
 def _rot_from_Y(Y):
     b, t, j = Y.shape[:3]
     return quat.from_xform_xy(Y[..., 3:9].reshape(b, t, j, 3, 2))
+
+
+def _tail_vel(pos4, fps=60.0):
+    """window_vel's LAST row from just the window's last 4 rows — exact:
+    last = inner[-1] + (inner[-1] - inner[-2]), and those two central
+    differences touch only pos rows T-4..T-1 (same arithmetic per element
+    as the full form, so results are bitwise identical)."""
+    inner1 = 0.5 * (pos4[:, 3] - pos4[:, 2]) * fps \
+        + 0.5 * (pos4[:, 2] - pos4[:, 1]) * fps
+    inner2 = 0.5 * (pos4[:, 2] - pos4[:, 1]) * fps \
+        + 0.5 * (pos4[:, 1] - pos4[:, 0]) * fps
+    return inner1 + (inner1 - inner2)
+
+
+def _tail_ang(rot4, fps=60.0):
+    """window_ang's LAST row from the window's last 4 rows (see
+    :func:`_tail_vel`); the shared fwd/bwd difference d(r2, r1) is computed
+    once, exactly as the vectorized form does."""
+    def d(a, b):
+        return quat.to_scaled_angle_axis(quat.abs_(quat.mul_inv(a, b)))
+
+    d32 = d(rot4[:, 3], rot4[:, 2])
+    d21 = d(rot4[:, 2], rot4[:, 1])
+    d10 = d(rot4[:, 1], rot4[:, 0])
+    inner1 = 0.5 * d32 * fps + 0.5 * d21 * fps
+    inner2 = 0.5 * d21 * fps + 0.5 * d10 * fps
+    return inner1 + (inner1 - inner2)
 
 
 def _per_frame_world(feats, bone_parents):
@@ -225,31 +252,43 @@ def _stream_chunk_outputs(pf, ci, cp, bone_parents, params, cfg,
     # per-frame stream inputs, the serving-residency bottleneck
     cnt = gen.content_feature(encoded) if emit_cnt else None
 
+    # The stream consumes only the window's LAST Y rows (plus the joint-1
+    # velocity track for the speed guard), so the parent-local
+    # reconstruction + finite differences run on the last 4 rows instead
+    # of all `window` — exact (window_vel/window_ang's last row touches
+    # rows T-4..T-1 only; joint 1 is always the synthesized root's child,
+    # so its Y track equals the already-computed Xpos track).  Measured on
+    # v5e this removes the dominant non-encoder cost of the stage: the
+    # full-window quat-log window_ang and the (window, J) Lrot/Lpos
+    # gathers were computed 60 rows wide and read 1 row
+    # (scripts/e2e_stage_probe.py, encode-skipped ablation).
     identq = jnp.asarray([1.0, 0.0, 0.0, 0.0])
-    Yrot2 = jnp.where(is_root, identq,
-                      jnp.where(is_rchild, Xrot, pf["Lrot"][ci]))
-    Ypos2 = jnp.where(is_root, 0.0,
-                      jnp.where(is_rchild, Xpos, pf["Lpos"][ci]))
-    Yvel2 = window_vel(Ypos2)
-    Yang2 = window_ang(Yrot2)
+    ci_t = ci[:, -4:]
+    Yrot2_t = jnp.where(is_root, identq,
+                        jnp.where(is_rchild, Xrot[:, -4:],
+                                  pf["Lrot"][ci_t]))
+    Ypos2_t = jnp.where(is_root, 0.0,
+                        jnp.where(is_rchild, Xpos[:, -4:],
+                                  pf["Lpos"][ci_t]))
+    hips_vel = window_vel(Xpos[:, :, 1:2])[:, :, 0]
 
     # match the oracle's quat->xform_xy->quat canonicalization of rot_last
-    rot_last = quat.from_xform_xy(quat.to_xform_xy(Yrot2[:, -1]))
+    rot_last = quat.from_xform_xy(quat.to_xform_xy(Yrot2_t[:, -1]))
     last_mask = maskf[:, -1]
     last_idx = ci[:, -1]
     out_cnt = {} if cnt is None else {"cnt": cnt.astype(jnp.float32)}
     return {
         "encoded": encoded.astype(jnp.float32),
         **out_cnt,
-        "pos_last": Ypos2[:, -1],
+        "pos_last": Ypos2_t[:, -1],
         "rot_last": rot_last,
-        "vel_last": Yvel2[:, -1],
-        "ang_last": Yang2[:, -1],
+        "vel_last": _tail_vel(Ypos2_t),
+        "ang_last": _tail_ang(Yrot2_t),
         "rvel_last": pf["Yrvel"][last_idx] * last_mask[:, None],
         "rang_last": pf["Yrang"][last_idx] * last_mask[:, None],
         "contact_last": pf["contacts"][last_idx].astype(jnp.float32),
         "hips_speed_mean": jnp.mean(
-            jnp.linalg.norm(Yvel2[:, :, 1], axis=-1), axis=1),
+            jnp.linalg.norm(hips_vel, axis=-1), axis=1),
     }
 
 
