@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--deterministic", action="store_true",
                     help="deterministic CVAE sampling (z = prior mu, no "
                          "RNG draws; ablation for the PRNG cost)")
+    ap.add_argument("--chunk", type=int, default=128,
+                    help="featurizer encoder-chunk size (windows per "
+                         "lax.map step); swept on v5e — 128 best "
+                         "(scripts/e2e_stage_probe.py --chunk)")
     ap.add_argument("--carry-cnt", action="store_true",
                     help="carry the redundant per-frame cnt array through "
                          "the stream scan (the pre-r4 form; cnt is exactly "
@@ -448,7 +452,7 @@ def bench_e2e(args):
         # the shipped CLI form (characterize --src-dir)
         frame0, xs = rtf.batch_stream_features_device(
             clips, params, cfg, norm, compute_dtype=compute_dtype,
-            emit_cnt=args.carry_cnt)
+            emit_cnt=args.carry_cnt, chunk=args.chunk)
         out = runner(frame0, xs, ks)
         np.asarray(out["nn_index"])  # host fetch = completion barrier
 

@@ -407,7 +407,7 @@ _BSF_KEYS = ("positions", "velocities", "rotations", "angular_velocities",
 
 def batch_stream_features_device(clips, params, cfg: gen.GeneratorConfig,
                                  norm: Dict[str, np.ndarray], *,
-                                 window: int = 60, chunk: int = 256,
+                                 window: int = 60, chunk: int = 128,
                                  compute_dtype=None, emit_cnt: bool = True,
                                  skip_encode: bool = False):
     """Featurize+encode MANY same-length, same-skeleton clips as ONE jitted
@@ -436,7 +436,7 @@ def batch_stream_features_device(clips, params, cfg: gen.GeneratorConfig,
 
 def batch_stream_features_ragged(clips, params, cfg: gen.GeneratorConfig,
                                  norm: Dict[str, np.ndarray], *,
-                                 window: int = 60, chunk: int = 256,
+                                 window: int = 60, chunk: int = 128,
                                  compute_dtype=None, emit_cnt: bool = True):
     """Featurize+encode clips of MIXED lengths as FEW jitted dispatches:
     clips group by frame count and each group runs through
@@ -489,7 +489,7 @@ def clip_stream_features_device(bvh_data: Dict, params,
                                 cfg: gen.GeneratorConfig,
                                 norm: Dict[str, np.ndarray], *,
                                 window: int = 60, mirror: bool = False,
-                                chunk: int = 256, compute_dtype=None,
+                                chunk: int = 128, compute_dtype=None,
                                 emit_cnt: bool = True) -> Dict:
     """Device-resident equivalent of :func:`clip_stream_features`: the whole
     featurize -> sliding-window gather -> X/Y derive -> encode pipeline runs

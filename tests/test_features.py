@@ -117,6 +117,27 @@ class TestCollectCharacterFeatures:
                 s["db"], clip_filter=lambda st, ac: False)
 
 
+class TestTailForms:
+    def test_tail_vel_ang_equal_full_window_last_row(self):
+        """_tail_vel/_tail_ang (the r4 featurize trim: compute only the Y
+        rows the stream reads) must equal window_vel/window_ang's last row
+        BITWISE — same arithmetic on the same 4 trailing rows."""
+        from mocha_sigasia2023_tpu.data.dataset import window_ang, window_vel
+        from mocha_sigasia2023_tpu.kinematics import quat as jq
+        from mocha_sigasia2023_tpu.runtime.features import _tail_ang, _tail_vel
+
+        rng = np.random.RandomState(7)
+        pos = jnp.asarray(rng.randn(5, 60, 25, 3).astype(np.float32))
+        rot = jq.normalize(jnp.asarray(
+            rng.randn(5, 60, 25, 4).astype(np.float32)))
+        np.testing.assert_array_equal(
+            np.asarray(window_vel(pos)[:, -1]),
+            np.asarray(_tail_vel(pos[:, -4:])))
+        np.testing.assert_array_equal(
+            np.asarray(window_ang(rot)[:, -1]),
+            np.asarray(_tail_ang(rot[:, -4:])))
+
+
 class TestClipStreamFeaturesDevice:
     def test_matches_host_pipeline(self, setup):
         """The single-program device featurizer (bench --e2e path) must
