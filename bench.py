@@ -72,6 +72,12 @@ def main():
                     help="featurizer encoder-chunk size (windows per "
                          "lax.map step); swept on v5e — 128 best "
                          "(scripts/e2e_stage_probe.py --chunk)")
+    ap.add_argument("--tchunk", type=int, default=0,
+                    help="step-loop: stream xs to the device in time "
+                         "chunks of this many frames (runner.chunked) "
+                         "instead of one monolithic upload — bounds HBM "
+                         "residency to ~2 chunks; 0 = monolithic. The "
+                         "S=256 row runs with --tchunk 60")
     ap.add_argument("--carry-cnt", action="store_true",
                     help="carry the redundant per-frame cnt array through "
                          "the stream scan (the pre-r4 form; cnt is exactly "
@@ -301,12 +307,19 @@ def bench_steploop(args):
                                fuse_decodes=args.fuse_decodes,
                                lean_decode=args.lean_decode,
                                multi_character=multi)
-    if multi:
-        char_ids = np.arange(S, dtype=np.int32) % args.characters
+    char_ids = (np.arange(S, dtype=np.int32) % args.characters
+                if multi else None)
+    if args.tchunk:
+        # host-resident xs, streamed to the device in time chunks —
+        # bounded HBM residency (unblocks S=256); upload of chunk c+1
+        # overlaps the scan of chunk c
+        run = lambda f0, xs_, ks: runner.chunked(
+            f0, xs_, ks, char_ids=char_ids, tchunk=args.tchunk)
+    elif multi:
         run = lambda f0, xs_, ks: runner(f0, xs_, ks, char_ids)
     else:
         run = runner
-    frame0, xs = stack_stream_inputs(feats)
+    frame0, xs = stack_stream_inputs(feats, device=not args.tchunk)
     keys = jax.random.split(jax.random.PRNGKey(7), S)
 
     def sync(out):

@@ -488,6 +488,11 @@ def init_stream(params, cfg, consts: RuntimeConsts, parents, frame0: Dict,
     return carry, outputs
 
 
+_FEAT_KEYS = ("encoded", "pos_last", "rot_last", "vel_last",
+              "ang_last", "rvel_last", "rang_last", "contact_last",
+              "hips_speed_mean")
+
+
 def _as_f32_feats(stream_feats: Dict) -> Dict:
     """Load the stream feature pytree as f32 (contact included) — explicit
     so enabling x64 for f64 root accumulators can't promote the inputs.
@@ -495,11 +500,8 @@ def _as_f32_feats(stream_feats: Dict) -> Dict:
     "cnt" is optional: featurizers called with emit_cnt=False drop it and
     the runtime re-derives it from encoded (it is exactly
     mean_variance_norm(encoded)), halving per-frame stream residency."""
-    feat_keys = ("encoded", "pos_last", "rot_last", "vel_last",
-                 "ang_last", "rvel_last", "rang_last", "contact_last",
-                 "hips_speed_mean")
     out = {k: jnp.asarray(np.asarray(stream_feats[k]), jnp.float32)
-           for k in feat_keys}
+           for k in _FEAT_KEYS}
     if "cnt" in stream_feats:
         out["cnt"] = jnp.asarray(np.asarray(stream_feats["cnt"]),
                                  jnp.float32)
@@ -584,141 +586,227 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
                             lean_decode=lean_decode,
                             cvae_dtype=cvae_dtype)
 
-    @functools.partial(jax.jit, static_argnames=("group_size",))
-    def run(params, cvae_params, consts, frame0, xs, keys, char_ids,
-            group_size=None):
-        # ---- hoisted context matching -----------------------------------
-        # The NN query is a pure function of the per-frame SOURCE cnt
-        # (test_fullframework.py:443) — no dependence on the stream carry —
-        # so every (frame, stream) match runs as a pre-scan einsum instead
-        # of T per-frame matmuls inside it.  Multi-character sessions use
-        # the grouped matcher: C*G*M*D total (G = largest per-character
-        # stream count) vs the masked full-stack form's S*C*M*D — the C=1
-        # cost for an even character distribution.
-        def match(cnt_chunk):
-            """(Tc, S, tok, dim) cnt -> (Tc, S) database indices."""
-            if char_ids is None:
-                q = (cnt_chunk - consts.cnt_mean) / consts.cnt_std
-            else:
-                q = (cnt_chunk - consts.cnt_mean[char_ids]) \
-                    / consts.cnt_std[char_ids]
-            q = q.reshape(q.shape[:2] + (-1,))
-            db = consts.cha_cnt_flat  # (M, D) or (C, M, D)
-            if compute_dtype is not None:
-                q = q.astype(compute_dtype)
-                db = db.astype(compute_dtype)
-            if char_ids is None:
-                return nn_index(q, db, consts.cha_cnt_sq)
-            return nn_index_grouped(q, db, consts.cha_cnt_sq, char_ids,
-                                    group_size)
-
-        if "cnt" in xs:
-            cnt_all = jnp.concatenate([frame0["cnt"][None], xs["cnt"]],
-                                      axis=0)
-            idx_all = match(cnt_all)
-            idx0, idx_xs = idx_all[0], idx_all[1:]
+    # ---- hoisted context matching ---------------------------------------
+    # The NN query is a pure function of the per-frame SOURCE cnt
+    # (test_fullframework.py:443) — no dependence on the stream carry —
+    # so every (frame, stream) match runs as a pre-scan einsum instead
+    # of T per-frame matmuls inside it.  Multi-character sessions use
+    # the grouped matcher: C*G*M*D total (G = largest per-character
+    # stream count) vs the masked full-stack form's S*C*M*D — the C=1
+    # cost for an even character distribution.
+    def match(consts, cnt_chunk, char_ids, group_size):
+        """(Tc, S, tok, dim) cnt -> (Tc, S) database indices."""
+        if char_ids is None:
+            q = (cnt_chunk - consts.cnt_mean) / consts.cnt_std
         else:
-            # cnt dropped from the streams (it is exactly
-            # mean_variance_norm(encoded)): re-derive it here in TIME
-            # CHUNKS so the (T, S, tok, dim) cnt temp never materializes —
-            # carrying it doubled the per-frame stream inputs and fed the
-            # S=256 OOM.  Chunks overlap at the tail (identical rewrites)
-            # to keep shapes static.
-            idx0 = match(gen.content_feature(frame0["encoded"])[None])[0]
-            enc = xs["encoded"]
-            T = enc.shape[0]
-            tchunk = min(32, T)
-            nsteps = -(-T // tchunk)
+            q = (cnt_chunk - consts.cnt_mean[char_ids]) \
+                / consts.cnt_std[char_ids]
+        q = q.reshape(q.shape[:2] + (-1,))
+        db = consts.cha_cnt_flat  # (M, D) or (C, M, D)
+        if compute_dtype is not None:
+            q = q.astype(compute_dtype)
+            db = db.astype(compute_dtype)
+        if char_ids is None:
+            return nn_index(q, db, consts.cha_cnt_sq)
+        return nn_index_grouped(q, db, consts.cha_cnt_sq, char_ids,
+                                group_size)
 
-            def body(i, acc):
-                start = jnp.minimum(i * tchunk, T - tchunk)
-                chunk = lax.dynamic_slice_in_dim(enc, start, tchunk, axis=0)
-                idx = match(gen.content_feature(chunk))
-                return lax.dynamic_update_slice_in_dim(acc, idx, start,
-                                                       axis=0)
+    def match_xs(consts, xs, char_ids, group_size):
+        """Pre-scan matching for a (T, S, ...) xs pytree -> (T, S) ids."""
+        if "cnt" in xs:
+            return match(consts, xs["cnt"], char_ids, group_size)
+        # cnt dropped from the streams (it is exactly
+        # mean_variance_norm(encoded)): re-derive it here in TIME
+        # CHUNKS so the (T, S, tok, dim) cnt temp never materializes —
+        # carrying it doubled the per-frame stream inputs and fed the
+        # S=256 OOM.  Chunks overlap at the tail (identical rewrites)
+        # to keep shapes static.
+        enc = xs["encoded"]
+        T = enc.shape[0]
+        tchunk = min(32, T)
+        nsteps = -(-T // tchunk)
 
-            idx_xs = lax.fori_loop(
-                0, nsteps, body,
-                jnp.zeros((T, enc.shape[1]), jnp.int32))
-        frame0 = dict(frame0, nn_idx=idx0)
-        xs = dict(xs, nn_idx=idx_xs)
+        def body(i, acc):
+            start = jnp.minimum(i * tchunk, T - tchunk)
+            chunk = lax.dynamic_slice_in_dim(enc, start, tchunk, axis=0)
+            idx = match(consts, gen.content_feature(chunk), char_ids,
+                        group_size)
+            return lax.dynamic_update_slice_in_dim(acc, idx, start, axis=0)
 
-        def consts_for(cid):
-            if char_ids is None:
-                return consts
-            # Character selection WITHOUT per-stream database copies: the
-            # big leaves stay unbatched (C*M)-flattened shared arrays (a
-            # naive consts[cid] gather under vmap materializes an
-            # (S, M, tok, dim) temp — 11 GB at bench scale); the stream's
-            # character is selected by masking other characters' rows to
-            # +inf in the squared-norm term of the NN distance, so the
-            # score matmul runs once against the shared stack and only
-            # the winning row is gathered.
-            C, M = consts.cha_cnt_sq.shape
-            row_char = jnp.arange(C * M, dtype=jnp.int32) // M
-            sq_masked = consts.cha_cnt_sq.reshape(-1) + jnp.where(
-                row_char == cid, 0.0, jnp.inf)
-            return consts._replace(
-                cha_encoded=consts.cha_encoded.reshape(
-                    (C * M,) + consts.cha_encoded.shape[2:]),
-                cha_cnt_flat=consts.cha_cnt_flat.reshape(
-                    (C * M, consts.cha_cnt_flat.shape[-1])),
-                cha_cnt_sq=sq_masked,
-                Y_mean=consts.Y_mean[cid], Y_std=consts.Y_std[cid],
-                cnt_mean=consts.cnt_mean[cid],
-                cnt_std=consts.cnt_std[cid],
-                src_cnt_mean=consts.src_cnt_mean[cid],
-                src_cnt_std=consts.src_cnt_std[cid],
-                cha_encoded_mean=consts.cha_encoded_mean[cid],
-                cha_encoded_std=consts.cha_encoded_std[cid])
+        return lax.fori_loop(0, nsteps, body,
+                             jnp.zeros((T, enc.shape[1]), jnp.int32))
 
+    def consts_for(consts, cid, char_ids):
+        if char_ids is None:
+            return consts
+        # Character selection WITHOUT per-stream database copies: the
+        # big leaves stay unbatched (C*M)-flattened shared arrays (a
+        # naive consts[cid] gather under vmap materializes an
+        # (S, M, tok, dim) temp — 11 GB at bench scale); the stream's
+        # character is selected by masking other characters' rows to
+        # +inf in the squared-norm term of the NN distance, so the
+        # score matmul runs once against the shared stack and only
+        # the winning row is gathered.
+        C, M = consts.cha_cnt_sq.shape
+        row_char = jnp.arange(C * M, dtype=jnp.int32) // M
+        sq_masked = consts.cha_cnt_sq.reshape(-1) + jnp.where(
+            row_char == cid, 0.0, jnp.inf)
+        return consts._replace(
+            cha_encoded=consts.cha_encoded.reshape(
+                (C * M,) + consts.cha_encoded.shape[2:]),
+            cha_cnt_flat=consts.cha_cnt_flat.reshape(
+                (C * M, consts.cha_cnt_flat.shape[-1])),
+            cha_cnt_sq=sq_masked,
+            Y_mean=consts.Y_mean[cid], Y_std=consts.Y_std[cid],
+            cnt_mean=consts.cnt_mean[cid],
+            cnt_std=consts.cnt_std[cid],
+            src_cnt_mean=consts.src_cnt_mean[cid],
+            src_cnt_std=consts.src_cnt_std[cid],
+            cha_encoded_mean=consts.cha_encoded_mean[cid],
+            cha_encoded_std=consts.cha_encoded_std[cid])
+
+    def init_streams(params, consts, frame0, keys, char_ids):
+        """vmapped per-stream init; frame0 must already carry nn_idx."""
         def init_one(f0, key, cid):
-            return init_stream(params, cfg, consts_for(cid), parents, f0,
-                               contact_bones, dt, key,
+            return init_stream(params, cfg, consts_for(consts, cid,
+                                                       char_ids),
+                               parents, f0, contact_bones, dt, key,
                                root_dtype=root_dtype,
                                lean_decode=lean_decode)
 
         cid_axis = None if char_ids is None else 0
-        carry, out0 = jax.vmap(init_one, in_axes=(0, 0, cid_axis))(
+        return jax.vmap(init_one, in_axes=(0, 0, cid_axis))(
             frame0, keys, char_ids)
+
+    def scan_streams(params, cvae_params, consts, carry, xs, char_ids):
+        """lax.scan of the vmapped step; xs must already carry nn_idx."""
+        cid_axis = None if char_ids is None else 0
         step_v = jax.vmap(
             lambda c, x, cid: step(
-                (params, cvae_params, consts_for(cid)), c, x),
+                (params, cvae_params, consts_for(consts, cid, char_ids)),
+                c, x),
             in_axes=(0, 0, cid_axis))
-        _, outs = lax.scan(lambda c, x: step_v(c, x, char_ids), carry, xs,
-                           unroll=unroll)
+        return lax.scan(lambda c, x: step_v(c, x, char_ids), carry, xs,
+                        unroll=unroll)
+
+    def localize_nn(consts, out, char_ids):
+        if char_ids is None:
+            return out
+        # NN matched against the (C*M)-flattened stack; report the
+        # character-local index (reference semantics).  char_ids (S,)
+        # broadcasts against both (T, S) scans and (S,) single frames.
+        M = consts.cha_cnt_sq.shape[1]
+        return dict(out, nn_index=out["nn_index"] - char_ids * M)
+
+    @functools.partial(jax.jit, static_argnames=("group_size",))
+    def run(params, cvae_params, consts, frame0, xs, keys, char_ids,
+            group_size=None):
+        idx0 = match(consts, gen.content_feature(frame0["encoded"])[None]
+                     if "cnt" not in frame0 else frame0["cnt"][None],
+                     char_ids, group_size)[0]
+        idx_xs = match_xs(consts, xs, char_ids, group_size)
+        frame0 = dict(frame0, nn_idx=idx0)
+        xs = dict(xs, nn_idx=idx_xs)
+        carry, out0 = init_streams(params, consts, frame0, keys, char_ids)
+        _, outs = scan_streams(params, cvae_params, consts, carry, xs,
+                               char_ids)
         # outs: (T-1, S, ...) -> prepend frame 0 -> (T, S, ...)
         out = jax.tree.map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, outs)
-        if char_ids is not None:
-            # NN matched against the (C*M)-flattened stack; report the
-            # character-local index (reference semantics)
-            M = consts.cha_cnt_sq.shape[1]
-            out["nn_index"] = out["nn_index"] - char_ids[None, :] * M
-        return out
+        return localize_nn(consts, out, char_ids)
+
+    # ---- time-chunked entries (bounded HBM residency) --------------------
+    # The monolithic `run` holds the WHOLE (T, S, tok, dim) encoded stream
+    # in HBM — 5.7 GB at S=256/T=240, the second half of the documented
+    # S=256 OOM.  These two entries split the same program at chunk
+    # boundaries: the carry crosses chunks unchanged, so outputs are
+    # IDENTICAL to the monolithic scan (pinned by
+    # tests/test_stream.py chunked==monolithic), while only ~2 chunks of
+    # xs are device-resident at once and the host upload of chunk c+1
+    # overlaps the device scan of chunk c (JAX async dispatch).
+    @functools.partial(jax.jit, static_argnames=("group_size",))
+    def init_chunked(params, cvae_params, consts, frame0, keys, char_ids,
+                     group_size=None):
+        idx0 = match(consts, gen.content_feature(frame0["encoded"])[None]
+                     if "cnt" not in frame0 else frame0["cnt"][None],
+                     char_ids, group_size)[0]
+        carry, out0 = init_streams(params, consts,
+                                   dict(frame0, nn_idx=idx0), keys,
+                                   char_ids)
+        return carry, localize_nn(consts, out0, char_ids)
+
+    @functools.partial(jax.jit, static_argnames=("group_size",))
+    def scan_chunked(params, cvae_params, consts, carry, xs, char_ids,
+                     group_size=None):
+        idx_xs = match_xs(consts, xs, char_ids, group_size)
+        carry, outs = scan_streams(params, cvae_params, consts, carry,
+                                   dict(xs, nn_idx=idx_xs), char_ids)
+        return carry, localize_nn(consts, outs, char_ids)
 
     if multi_character:
         n_characters = int(consts.cha_cnt_sq.shape[0])
 
+    def _check_cids(char_ids):
+        # validate host-side: an out-of-range id would clamp silently
+        # inside the jnp gathers and serve the wrong character
+        cid = np.asarray(char_ids)
+        if cid.size and (cid.min() < 0 or cid.max() >= n_characters):
+            raise ValueError(
+                f"char_ids must be in [0, {n_characters}) — got range "
+                f"[{cid.min()}, {cid.max()}] for a {n_characters}-"
+                "character consts stack")
+        # static group size for the grouped matcher: the largest
+        # per-character stream count (a new size retraces, but a
+        # session's character distribution is fixed)
+        group_size = int(np.bincount(cid, minlength=n_characters).max())
+        return jnp.asarray(cid, jnp.int32), group_size
+
+    if multi_character:
         def runner(frame0, xs, keys, char_ids):
-            # validate host-side: an out-of-range id would clamp silently
-            # inside the jnp gathers and serve the wrong character
-            cid = np.asarray(char_ids)
-            if cid.size and (cid.min() < 0 or cid.max() >= n_characters):
-                raise ValueError(
-                    f"char_ids must be in [0, {n_characters}) — got range "
-                    f"[{cid.min()}, {cid.max()}] for a {n_characters}-"
-                    "character consts stack")
-            # static group size for the grouped matcher: the largest
-            # per-character stream count (a new size retraces, but a
-            # session's character distribution is fixed)
-            group_size = int(np.bincount(cid, minlength=n_characters).max())
+            cid, group_size = _check_cids(char_ids)
             return run(params, cvae_params, consts, frame0, xs, keys,
-                       jnp.asarray(cid, jnp.int32), group_size=group_size)
+                       cid, group_size=group_size)
     else:
         def runner(frame0, xs, keys):
             return run(params, cvae_params, consts, frame0, xs, keys, None)
 
+    def chunked(frame0, xs, keys, char_ids=None, tchunk: int = 60):
+        """Time-chunked driver over HOST-resident stream inputs (numpy
+        pytrees from ``stack_stream_inputs(..., device=False)``): the
+        monolithic runner uploads the whole (T, S, tok, dim) encoded
+        stream (5.7 GB at S=256/T=240); this loop uploads one tchunk
+        slice at a time, so device residency is ~2 chunks of xs plus the
+        (small) pose outputs, and the upload of chunk c+1 overlaps the
+        scan of chunk c via JAX async dispatch.  The scan carry crosses
+        chunk boundaries unchanged, so outputs match the monolithic
+        runner (pinned by tests/test_runtime.py TestChunkedRunner); the
+        tail chunk is edge-padded to keep one compiled program and its
+        padded outputs trimmed."""
+        cid, group_size = (_check_cids(char_ids) if multi_character
+                           else (None, None))
+        T = next(iter(xs.values())).shape[0]
+        tchunk = min(int(tchunk), T)
+        carry, out0 = init_chunked(params, cvae_params, consts,
+                                   jax.tree.map(jnp.asarray, frame0),
+                                   keys, cid, group_size=group_size)
+        outs = []
+        for start in range(0, T, tchunk):
+            chunk = {k: v[start:start + tchunk] for k, v in xs.items()}
+            npad = tchunk - chunk["encoded"].shape[0]
+            if npad:
+                chunk = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], npad, axis=0)])
+                    for k, v in chunk.items()}
+            chunk = jax.tree.map(jnp.asarray, chunk)
+            carry, o = scan_chunked(params, cvae_params, consts, carry,
+                                    chunk, cid, group_size=group_size)
+            outs.append(o)
+        return jax.tree.map(
+            lambda a, *bs: jnp.concatenate([a[None]] + list(bs),
+                                           axis=0)[:T + 1],
+            out0, *outs)
+
+    runner.chunked = chunked
     # expose the inner jitted fn + bound context for AOT cost analysis /
     # profiling (same pattern as scripts/train_cost_probe.py)
     runner._inner = run
@@ -776,11 +864,35 @@ def stack_consts(consts_list) -> RuntimeConsts:
     return jax.tree.map(lambda *leaves: jnp.stack(leaves), *padded)
 
 
-def stack_stream_inputs(stream_feats: Dict):
+def stack_stream_inputs(stream_feats: Dict, device: bool = True):
     """Split featurized-clip arrays into (frame0, xs) pytrees for
     make_batch_runner; leading axes (S, T, ...) -> frame0 (S, ...),
-    xs (T-1, S, ...)."""
-    arrs = _as_f32_feats(stream_feats)
-    frame0 = {k: v[:, 0] for k, v in arrs.items()}
-    xs = {k: jnp.moveaxis(v[:, 1:], 0, 1) for k, v in arrs.items()}
+    xs (T-1, S, ...).
+
+    Host (numpy) inputs are transposed to scan-major layout BEFORE the
+    device upload: a device-side ``jnp.moveaxis`` holds both the S-major
+    original and the T-major copy live at once — at S=256 streams the
+    encoded array alone is 5.7 GB, so the transpose temp was the first
+    half of the documented S=256 OOM.  Device-resident inputs (the e2e
+    path feeds the featurizer's outputs directly) keep the on-device
+    moveaxis — they are already paid for.
+
+    ``device=False`` keeps host leaves as numpy (no upload) — the input
+    form for ``runner.chunked``, which streams one time chunk to the
+    device at a time."""
+    keys = _FEAT_KEYS + (("cnt",) if "cnt" in stream_feats else ())
+    frame0, xs = {}, {}
+    for k in keys:
+        v = stream_feats[k]
+        if isinstance(v, jax.Array):
+            v = v.astype(jnp.float32)
+            frame0[k] = v[:, 0]
+            xs[k] = jnp.moveaxis(v[:, 1:], 0, 1)
+        else:
+            v = np.asarray(v, np.float32)
+            frame0[k] = v[:, 0]
+            xs[k] = np.ascontiguousarray(np.moveaxis(v[:, 1:], 0, 1))
+            if device:
+                frame0[k] = jnp.asarray(frame0[k])
+                xs[k] = jnp.asarray(xs[k])
     return frame0, xs

@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--carry-cnt", action="store_true",
                     help="emit + stream the redundant cnt array "
                          "(the pre-r4 form)")
+    ap.add_argument("--ablate", action="store_true",
+                    help="decompose the featurize+encode stage further: "
+                         "per-frame featurize+FK alone, +window gather, "
+                         "+X-derive quat math (cumulative jitted "
+                         "programs, each ending in a tiny reduce so XLA "
+                         "can't dead-code the stage under test)")
     args = ap.parse_args()
 
     import jax
@@ -180,6 +186,118 @@ def main():
     print(f"serial e2e:       {(ft+st)*1e3:8.1f} ms  ({n/(ft+st):9.0f} "
           "frames/s)")
     print(f"featurize share:  {ft/(ft+st)*100:5.1f}%")
+
+    if not args.ablate:
+        return
+
+    # ---- finer ablation of the featurize+encode stage --------------------
+    # Cumulative programs, timed separately; deltas give each substage.
+    from jax import lax
+
+    from mocha_sigasia2023_tpu.data.preprocess import featurize_clip
+    from mocha_sigasia2023_tpu.data.windows import padded_window_indices
+    from mocha_sigasia2023_tpu.kinematics import quat
+    from mocha_sigasia2023_tpu.runtime.features import (
+        _BSF_KEYS, _per_frame_world,
+    )
+
+    c0 = clips[0]
+    order = c0["order"]
+    names = list(c0["names"])
+    parents_raw = np.asarray(c0["parents"])
+    bone_parents = np.concatenate([[-1], parents_raw + 1])
+    nframes = np.asarray(c0["rotations"]).shape[0]
+    idx, pad_m = padded_window_indices(nframes, win, 1)
+    n_w = len(idx)
+    flat_idx = (np.arange(S)[:, None, None] * nframes
+                + idx[None]).reshape(S * n_w, win).astype(np.int32)
+    flat_pad = np.broadcast_to(
+        pad_m[None], (S, n_w, win)).reshape(S * n_w, win)
+    total = S * n_w
+    csize = min(args.chunk, total)
+    G = -(-total // csize)
+    pr = G * csize - total
+    flat_idx = np.concatenate([flat_idx, np.repeat(flat_idx[-1:], pr, 0)])
+    flat_pad = np.concatenate([flat_pad, np.repeat(flat_pad[-1:], pr, 0)])
+    flat_idx = jnp.asarray(flat_idx.reshape(G, csize, win))
+    flat_pad = jnp.asarray(flat_pad.reshape(G, csize, win))
+
+    def frames_stage(rot_deg, pos_cm):
+        def one_clip(r, p):
+            out = featurize_clip(r, p, order, names, parents_raw,
+                                 contact_velocity_threshold=0.5, fps=60.0)
+            return {k: out[k] for k in _BSF_KEYS}
+
+        feats = jax.vmap(one_clip)(rot_deg, pos_cm)
+        pf = _per_frame_world(feats, bone_parents)
+        return {k: v.reshape((S * nframes,) + v.shape[2:])
+                for k, v in pf.items()}
+
+    def gather_stage(pf):
+        def do_chunk(c):
+            ci, cp = c
+            m = (~cp).astype(jnp.float32)[..., None, None]
+            acc = 0.0
+            for k in ("Grot", "Gpos", "Gvel", "Gang"):
+                acc = acc + jnp.sum(pf[k][ci] * m, axis=(1, 2, 3))
+            return acc
+
+        return lax.map(do_chunk, (flat_idx, flat_pad))
+
+    def xderive_stage(pf):
+        def do_chunk(c):
+            ci, cp = c
+            m = (~cp).astype(jnp.float32)[..., None, None]
+            Grot, Gpos = pf["Grot"][ci], pf["Gpos"][ci]
+            Gvel, Gang = pf["Gvel"][ci] * m, pf["Gang"][ci] * m
+
+            def pin_last(a):
+                return a.at[:, :, 0:1].set(
+                    jnp.repeat(a[:, -1:, 0:1], win, axis=1))
+
+            Grot, Gpos = pin_last(Grot), pin_last(Gpos)
+            Gvel, Gang = pin_last(Gvel), pin_last(Gang)
+            root_rot = Grot[:, :, 0:1]
+            Xpos = quat.inv_mul_vec(root_rot, Gpos - Gpos[:, :, 0:1])
+            Xrot = quat.inv_mul(root_rot, Grot)
+            Xvel = quat.inv_mul_vec(root_rot, Gvel)
+            Xang = quat.inv_mul_vec(root_rot, Gang)
+            b, t, j = Xpos.shape[:3]
+            X = jnp.concatenate(
+                [Xpos, quat.to_xform_xy(Xrot).reshape(b, t, j, 6),
+                 Xvel, Xang], axis=-1)
+            return jnp.sum(X, axis=(1, 2, 3))
+
+        return lax.map(do_chunk, (flat_idx, flat_pad))
+
+    rot = jnp.asarray(np.stack(src_rot))
+    pos = jnp.asarray(np.stack(src_pos))
+    f_frames = jax.jit(lambda r, p: jax.tree.map(
+        lambda a: jnp.sum(a), frames_stage(r, p)))
+    f_gather = jax.jit(lambda r, p: gather_stage(frames_stage(r, p)))
+    f_xder = jax.jit(lambda r, p: xderive_stage(frames_stage(r, p)))
+
+    def tmin(f, reps=args.repeats):
+        for _ in range(2):
+            sync(f(rot, pos))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sync(f(rot, pos))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    tf = tmin(f_frames)
+    tg = tmin(f_gather)
+    tx = tmin(f_xder)
+    print("\nablation (cumulative programs; encode-skipped full stage "
+          f"= {sk*1e3:.1f} ms):")
+    print(f"  featurize_clip+FK (per-frame):  {tf*1e3:8.1f} ms")
+    print(f"  + window gather (G arrays):     {tg*1e3:8.1f} ms "
+          f"(gather ≈ {(tg-tf)*1e3:.1f} ms)")
+    print(f"  + X-derive quat math:           {tx*1e3:8.1f} ms "
+          f"(quat math ≈ {(tx-tg)*1e3:.1f} ms)")
+    print(f"  residual (Y tails + writes):    {(sk-tx)*1e3:8.1f} ms")
 
 
 if __name__ == "__main__":

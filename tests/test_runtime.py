@@ -481,6 +481,75 @@ class TestDroppedCntStream:
                                    np.asarray(full["encoded"]), atol=1e-6)
 
 
+class TestChunkedRunner:
+    """runner.chunked streams HOST-resident xs to the device one time
+    chunk at a time (bounded HBM residency — the S=256 play); the scan
+    carry crosses chunk boundaries unchanged, so outputs must match the
+    monolithic runner, including the RNG-key carry (non-deterministic
+    mode) and a tail chunk that needs edge padding."""
+
+    def test_chunked_equals_monolithic(self, setup):
+        s = setup
+        feats = {k: np.stack([np.asarray(s["src_feats"][k])] * 2)
+                 for k in ("encoded", "pos_last", "rot_last", "vel_last",
+                           "ang_last", "rvel_last", "rang_last",
+                           "contact_last", "hips_speed_mean")}
+        runner = rts.make_batch_runner(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            s["consts"], s["parents"], deterministic=False)
+        keys = jax.random.split(jax.random.PRNGKey(3), 2)
+
+        frame0, xs = rts.stack_stream_inputs(feats)
+        a = jax.tree.map(np.asarray, runner(frame0, xs, keys))
+
+        f0h, xsh = rts.stack_stream_inputs(feats, device=False)
+        assert isinstance(xsh["encoded"], np.ndarray)
+        T = xsh["encoded"].shape[0]
+        tchunk = max(T // 3 + 1, 2)  # does not divide T: tail edge-pad
+        assert T % tchunk != 0
+        b = jax.tree.map(np.asarray,
+                         runner.chunked(f0h, xsh, keys, tchunk=tchunk))
+        np.testing.assert_array_equal(a["nn_index"], b["nn_index"])
+        for k in ("trans_pos", "ik_pos", "cm_pos", "src_pos"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=k)
+
+    def test_chunked_multi_character(self, setup):
+        s = setup
+        bf = s["src_feats"]
+        cnt_mean = bf["cnt"].mean(axis=0)
+        cnt_std = bf["cnt"].std(axis=0) + 1e-6
+        flat = ((bf["cnt"] - cnt_mean) / cnt_std).reshape(len(bf["cnt"]),
+                                                          -1)
+        consts_b = s["consts"]._replace(
+            cha_encoded=jnp.asarray(bf["encoded"]),
+            cha_cnt_flat=jnp.asarray(flat),
+            cha_cnt_sq=jnp.asarray((flat ** 2).sum(-1)),
+            cnt_mean=jnp.asarray(cnt_mean), cnt_std=jnp.asarray(cnt_std),
+            src_cnt_mean=jnp.asarray(cnt_mean),
+            src_cnt_std=jnp.asarray(cnt_std),
+            cha_encoded_mean=jnp.asarray(bf["encoded"].mean(axis=0)),
+            cha_encoded_std=jnp.asarray(bf["encoded"].std(axis=0) + 1e-6))
+        runner = rts.make_batch_runner(
+            s["params"], s["cfg"], s["cvae_params"], s["cvae_cfg"],
+            rts.stack_consts([s["consts"], consts_b]), s["parents"],
+            deterministic=True, multi_character=True)
+        feats = {k: np.stack([np.asarray(s["src_feats"][k])] * 3)
+                 for k in ("encoded", "pos_last", "rot_last", "vel_last",
+                           "ang_last", "rvel_last", "rang_last",
+                           "contact_last", "hips_speed_mean")}
+        cids = np.array([0, 1, 0], np.int32)
+        keys = jnp.stack([jax.random.PRNGKey(3)] * 3)
+        frame0, xs = rts.stack_stream_inputs(feats)
+        a = jax.tree.map(np.asarray, runner(frame0, xs, keys, cids))
+        f0h, xsh = rts.stack_stream_inputs(feats, device=False)
+        b = jax.tree.map(np.asarray,
+                         runner.chunked(f0h, xsh, keys, char_ids=cids,
+                                        tchunk=7))
+        np.testing.assert_array_equal(a["nn_index"], b["nn_index"])
+        for k in ("trans_pos", "ik_pos", "cm_pos"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=k)
+
+
 class TestDbBf16:
     def test_bf16_database_equals_prerounded_f32(self, setup):
         """cast_database (bf16 storage for the character stack — halves
