@@ -60,7 +60,7 @@ def main():
                          "decoder call instead of two separate calls")
     ap.add_argument("--lean-decode", action="store_true",
                     help="use the lean last-frame+hip-velocity stream "
-                         "decode (measured 44% slower on v5e: tiny conv "
+                         "decode (measured 44%% slower on v5e: tiny conv "
                          "shapes tile worse than the dense head)")
     ap.add_argument("--no-ik", action="store_true",
                     help="disable the foot-contact locking + two-bone IK "
@@ -90,7 +90,7 @@ def main():
                          "30-style roster at 2048 rows/character")
     ap.add_argument("--rbg-prng", action="store_true",
                     help="use the counter-based rbg PRNG for the CVAE "
-                         "noise (measured 21% SLOWER than threefry on "
+                         "noise (measured 21%% SLOWER than threefry on "
                          "v5e; threefry itself is free — --deterministic "
                          "matches the default within noise)")
     ap.add_argument("--latency", action="store_true",
