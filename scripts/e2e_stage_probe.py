@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--carry-cnt", action="store_true",
                     help="emit + stream the redundant cnt array "
                          "(the pre-r4 form)")
+    ap.add_argument("--cost-model", action="store_true",
+                    help="loop-corrected XLA cost model for the featurize "
+                         "stage: lower the program at two chunk sizes to "
+                         "solve for the per-window body cost (the naive "
+                         "cost_analysis counts a lax.map body once)")
     ap.add_argument("--ablate", action="store_true",
                     help="decompose the featurize+encode stage further: "
                          "per-frame featurize+FK alone, +window gather, "
@@ -186,6 +191,56 @@ def main():
     print(f"serial e2e:       {(ft+st)*1e3:8.1f} ms  ({n/(ft+st):9.0f} "
           "frames/s)")
     print(f"featurize share:  {ft/(ft+st)*100:5.1f}%")
+
+    if args.cost_model:
+        # XLA's cost analysis counts a while/map-loop BODY ONCE (verified:
+        # doubling scan trip count leaves reported flops ~unchanged), so
+        # the naive numbers above understate looped programs.  Solve for
+        # the per-window body cost instead: reported(chunk) =
+        # outside + body(chunk) and body scales linearly in chunk, so two
+        # chunk sizes give body-per-window = Δreported/Δchunk; true total
+        # = outside + per_window * n_windows.  Done for the full and the
+        # encode-skipped programs; their difference is the encoder.
+        n_w_total = n  # one sliding window per frame
+        c1, c2 = int(args.chunk), 2 * int(args.chunk)
+
+        def two_point(skip):
+            costs = []
+            for c in (c1, c2):
+                fn = rtf._batch_stream_featurizer_jitted(
+                    cfg, len(clips), np.asarray(c0["rotations"]).shape[0],
+                    c0["order"], tuple(c0["names"]),
+                    tuple(int(p) for p in c0["parents"]), win, 0.5,
+                    60.0, c, None, emit_cnt, skip)
+                costs.append(aot_cost(
+                    fn, params, jnp.asarray(norm["X_mean"], jnp.float32),
+                    jnp.asarray(norm["X_std"], jnp.float32), rot, pos))
+            (f1, b1), (f2, b2) = costs
+            if f1 is None or f2 is None:
+                return None
+            pw_f, pw_b = (f2 - f1) / (c2 - c1), (b2 - b1) / (c2 - c1)
+            out_f, out_b = f1 - pw_f * c1, b1 - pw_b * c1
+            return (out_f + pw_f * n_w_total, out_b + pw_b * n_w_total,
+                    pw_f, pw_b)
+
+        full = two_point(False)
+        skip = two_point(True)
+        if full:
+            tf_, tb_, pwf, _ = full
+            print(f"cost model (loop-corrected, {n_w_total} windows):")
+            print(f"  full stage:  {tf_/1e12:6.2f} TFLOP, {tb_/1e9:7.1f} GB"
+                  f" -> achieved {tf_/ft/1e12:5.1f} TFLOP/s,"
+                  f" {tb_/ft/1e9:5.0f} GB/s  ({pwf/1e9:.3f} GFLOP/window)")
+        if full and skip:
+            sf_, sb_, spwf, _ = skip
+            ef, eb = tf_ - sf_, tb_ - sb_
+            et = ft - sk
+            print(f"  encode-skip: {sf_/1e12:6.2f} TFLOP, {sb_/1e9:7.1f} GB"
+                  f" -> achieved {sf_/sk/1e12:5.1f} TFLOP/s,"
+                  f" {sb_/sk/1e9:5.0f} GB/s  ({spwf/1e9:.3f} GFLOP/window)")
+            print(f"  encoder:     {ef/1e12:6.2f} TFLOP, {eb/1e9:7.1f} GB"
+                  f" -> achieved {ef/et/1e12:5.1f} TFLOP/s,"
+                  f" {eb/et/1e9:5.0f} GB/s over its {et*1e3:.0f} ms")
 
     if not args.ablate:
         return
