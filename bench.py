@@ -84,6 +84,11 @@ def main():
                          "mean_variance_norm(encoded), so the default "
                          "re-derives it on demand — halves per-frame "
                          "stream inputs, unblocks --streams 256)")
+    ap.add_argument("--measure-retrace", action="store_true",
+                    help="with --characters N: time the one-off "
+                         "trace+compile a NEW character distribution "
+                         "(different grouped-matcher group_size) costs "
+                         "before the steady-state measurement")
     ap.add_argument("--db-bf16", action="store_true",
                     help="store the character database stack (encoded rows "
                          "+ cnt matrix) in bf16 — halves its HBM, fits the "
@@ -332,6 +337,27 @@ def bench_steploop(args):
     for _ in range(2):
         out = run(frame0, xs, keys)
         sync(out)
+
+    if args.measure_retrace:
+        if not multi:
+            raise SystemExit("--measure-retrace needs --characters > 1")
+        # the grouped matcher's group_size (largest per-character stream
+        # count) is a static arg: a NEW character distribution with a
+        # different max retraces + recompiles the scan program once per
+        # distinct size.  Time that one-off against the warm call.
+        skewed = np.zeros(S, np.int32)  # all streams on character 0
+        skewed[-(args.characters - 1):] = np.arange(
+            1, args.characters, dtype=np.int32)
+        t0 = time.perf_counter()
+        sync(runner(frame0, xs, keys, skewed))
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(runner(frame0, xs, keys, skewed))
+        warm = time.perf_counter() - t0
+        print(f"[retrace] new group_size distribution: first call "
+              f"{cold:.1f} s (trace+compile+run), warm {warm*1e3:.0f} ms "
+              f"-> one-off compile cost ~{cold - warm:.1f} s per distinct "
+              "per-character max stream count", file=sys.stderr)
 
     times = []
     for r in range(args.repeats):

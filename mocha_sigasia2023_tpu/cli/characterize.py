@@ -142,7 +142,15 @@ def main(argv=None):
                          "(CM output = CVAE output)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 decoder/CVAE matmuls (f32 pose math)")
+    ap.add_argument("--tchunk", type=int, default=0, metavar="FRAMES",
+                    help="--src-dir only: stream the featurized inputs to "
+                         "the device in time chunks of this many frames "
+                         "(runtime.stream runner.chunked) — bounds HBM "
+                         "residency to ~2 chunks for long/many-clip "
+                         "batches; 0 = monolithic (whole batch resident)")
     args = ap.parse_args(argv)
+    if args.tchunk and not args.src_dir:
+        ap.error("--tchunk applies to the --src-dir batch path")
     if (args.src is None) == (args.src_dir is None):
         ap.error("provide exactly one of --src or --src-dir")
     if args.src_dir and args.viz:
@@ -267,6 +275,10 @@ def main(argv=None):
               "batch_stream_features_device program per distinct length)")
         print(f"characterizing {len(src_paths)} clips "
               f"({sum(lengths)} frames) as parallel streams ...")
+        # the CLI process owns the global x64 flag the f64 root
+        # accumulators need — flip it here (where the runner would),
+        # silently
+        jax.config.update("jax_enable_x64", True)
         runner = rts.make_batch_runner(
             params, cfg, cvae_params, cvae_cfg, consts, parents,
             contact_bones=tuple(rt.get("contact_bones", (5, 24))),
@@ -276,7 +288,18 @@ def main(argv=None):
             root_dtype=jnp.float64)
         keys = jax.random.split(jax.random.PRNGKey(args.seed),
                                 len(src_paths))
-        out = jax.tree.map(np.asarray, runner(frame0, xs, keys))
+        if args.tchunk:
+            # long/many-clip batches: fetch the featurized streams to
+            # host once, then runner.chunked uploads one time slice at a
+            # time — device residency is ~2 chunks of xs instead of the
+            # whole (T, S, tok, dim) stack (outputs are identical to the
+            # monolithic runner; the scan carry crosses chunks unchanged)
+            frame0 = jax.tree.map(np.asarray, frame0)
+            xs = jax.tree.map(np.asarray, xs)
+            out = jax.tree.map(np.asarray, runner.chunked(
+                frame0, xs, keys, tchunk=args.tchunk))
+        else:
+            out = jax.tree.map(np.asarray, runner(frame0, xs, keys))
         for i, (p, L) in enumerate(zip(src_paths, lengths)):
             write_outputs(p, {k: v[:L, i] for k, v in out.items()})
         return out
@@ -284,6 +307,7 @@ def main(argv=None):
     src_feats = rtf.clip_stream_features_device(src_bvhs[0], params, cfg,
                                                 norm, window=window)
     print(f"characterizing {len(src_feats['encoded'])} frames ...")
+    jax.config.update("jax_enable_x64", True)  # CLI owns the flag (f64 roots)
     out = rts.characterize_clip(
         params, cfg, cvae_params, cvae_cfg, consts, parents, src_feats,
         contact_bones=tuple(rt.get("contact_bones", (5, 24))), ik=ik_cfg,

@@ -18,7 +18,13 @@ from ..io import bvh
 
 def reroot_to_hips(Ypos: np.ndarray, Yrot: np.ndarray, parents) -> tuple:
     """(T, J, .) root-augmented pose -> (T, J-1, .) with world-space hips."""
-    grot, gpos = quat.fk(jnp.asarray(Yrot), jnp.asarray(Ypos), parents)
+    # f64-root streams can emit mixed f64/f32 pose arrays; FK's scatter
+    # updates require value dtype == operand dtype (a mismatch is a JAX
+    # FutureWarning today, an error in future releases) — promote both
+    # to the wider of the two before the device call
+    dtype = np.result_type(np.asarray(Ypos).dtype, np.asarray(Yrot).dtype)
+    grot, gpos = quat.fk(jnp.asarray(np.asarray(Yrot, dtype)),
+                         jnp.asarray(np.asarray(Ypos, dtype)), parents)
     out_pos = np.asarray(Ypos)[:, 1:].copy()
     out_rot = np.asarray(Yrot)[:, 1:].copy()
     out_pos[:, 0] = np.asarray(gpos)[:, 1]

@@ -84,11 +84,26 @@ class StreamCarry(NamedTuple):
 
 def _resolve_root_dtype(root_dtype):
     """float64 accumulators require the global x64 flag; enable it on
-    first use (the trainer already does the same for loss_dtype)."""
+    first use (the trainer already does the same for loss_dtype).
+
+    This is a PROCESS-GLOBAL side effect: after the flip, unrelated JAX
+    code in the same process promotes Python floats / numpy f64 inputs to
+    f64 instead of silently downcasting to f32, which changes dtypes (and
+    recompiles) elsewhere.  Fine for the CLI processes that own the
+    default; library users embedding the runtime alongside other JAX
+    programs should pass ``root_dtype=jnp.float32`` (or pre-enable x64
+    themselves).  A one-time warning announces the flip."""
     if root_dtype is None:
         return jnp.float32
     root_dtype = jnp.dtype(root_dtype)
     if root_dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        import warnings
+
+        warnings.warn(
+            "root_dtype=float64 enables jax_enable_x64 for the WHOLE "
+            "process (dtype semantics of unrelated JAX code change); "
+            "pass root_dtype=jnp.float32 to keep the global default",
+            stacklevel=3)
         jax.config.update("jax_enable_x64", True)
     return root_dtype
 
@@ -521,7 +536,10 @@ def characterize_clip(params, cfg, cvae_params, cvae_cfg,
 
     ``root_dtype`` defaults to float64 here (the offline demo path, where
     BASELINE's 1e-3 long-horizon fidelity bound applies); the batched
-    throughput runner defaults to f32.
+    throughput runner defaults to f32.  NOTE: the f64 default flips the
+    process-global ``jax_enable_x64`` flag on first use (warned once; see
+    ``_resolve_root_dtype``) — pass ``root_dtype=jnp.float32`` when
+    embedding next to other JAX programs.
     """
     use_cvae = cvae_params is not None
     step = make_stream_step(cfg, cvae_cfg, parents, contact_bones, ik, dt,
@@ -567,6 +585,9 @@ def make_batch_runner(params, cfg, cvae_params, cvae_cfg,
 
     Returns a jitted fn(frame0, xs, keys) where frame0 pytree leaves have
     leading dim S, xs leaves (T-1, S, ...), keys (S, 2).
+
+    ``root_dtype=jnp.float64`` flips the process-global ``jax_enable_x64``
+    flag on first use (warned once; see ``_resolve_root_dtype``).
 
     ``multi_character=True`` serves a DIFFERENT character per stream from
     ONE shared database stack: ``consts`` leaves carry a leading C

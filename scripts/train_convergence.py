@@ -34,13 +34,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def read_jsonl_series(path, tag):
-    """MetricsLogger JSONL: one {"tag", "value", "step"} record per line."""
+    """MetricsLogger JSONL: one {"tag", "value", "step"} record per line.
+
+    MetricsLogger APPENDS, so a rerun with ``--keep`` leaves earlier runs'
+    records in the same file — keep only the FINAL monotonic step range
+    (reset the series whenever the step counter restarts) so first/last
+    convergence means never mix runs."""
     vals = []
     with open(path) as f:
         for line in f:
             rec = json.loads(line)
             if rec.get("tag") == tag:
-                vals.append((rec.get("step", len(vals)), rec["value"]))
+                step = rec.get("step", len(vals))
+                if vals and step < vals[-1][0]:
+                    vals = []  # step counter restarted -> a newer run
+                vals.append((step, rec["value"]))
     return vals
 
 
@@ -57,7 +65,16 @@ def main():
     ap.add_argument("--workdir", default="/tmp/mocha_convergence")
     ap.add_argument("--keep", action="store_true",
                     help="keep an existing workdir's database/checkpoints")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "overrides JAX_PLATFORMS; same treatment as "
+                         "tests/conftest.py) — for smoke runs off-chip")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from mocha_sigasia2023_tpu.io import bvh as jbvh
     from mocha_sigasia2023_tpu.data.synthetic import make_mocha_bvh_data

@@ -163,3 +163,29 @@ class TestCLIChain:
         n_frames = [jbvh.load(str(d / "results_batch" / f))["rotations"].shape[0]
                     for f in ours]
         assert n_frames[0] != n_frames[1]
+
+    def test_7_characterize_batch_dir_tchunk(self, workdir, monkeypatch):
+        """--tchunk routes the batch through runner.chunked (host-resident
+        inputs streamed to the device in bounded time chunks); outputs
+        must match the monolithic --src-dir run byte-for-byte."""
+        d = workdir["dir"]
+        monkeypatch.chdir(d)
+        cli_char.main([
+            "--config", workdir["config"],
+            "--src-dir", str(d / "bvh"),
+            "--cha", str(d / "bvh" / "Walk_Neutral_Princess_002.bvh"),
+            "--gen-ckpt", str(d / "model_tiny" / "pth" / "gen_001.msgpack"),
+            "--norm", str(d / "datasets" / "mocha60" / "norm.npz"),
+            "--cnt-norm", str(d / "datasets" / "mocha60" / "cnt_norm.npz"),
+            "--out", str(d / "results_tchunk"), "--deterministic",
+            "--random-init", "--tchunk", "16"])
+        mono = sorted(os.listdir(d / "results_batch"))
+        chunked = sorted(os.listdir(d / "results_tchunk"))
+        assert mono == chunked
+        for f in mono:
+            a = jbvh.load(str(d / "results_batch" / f))
+            b = jbvh.load(str(d / "results_tchunk" / f))
+            np.testing.assert_allclose(b["rotations"], a["rotations"],
+                                       atol=1e-4, err_msg=f)
+            np.testing.assert_allclose(b["positions"], a["positions"],
+                                       atol=1e-4, err_msg=f)

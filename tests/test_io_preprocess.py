@@ -60,6 +60,66 @@ class TestBVH:
         np.testing.assert_allclose(ours["positions"], ref["positions"], atol=1e-6)
         np.testing.assert_allclose(ours["rotations"], ref["rotations"], atol=1e-6)
 
+    def test_nine_channel_parse_matches_reference(self, tmp_path):
+        """The rare 9-channel variant (per-joint position+rotation+scale;
+        reference bvh.py:119-123): root row is 3 position values, every
+        other joint contributes 9, and scaled joint positions ADD onto the
+        hierarchy offsets."""
+        header = "\n".join([
+            "HIERARCHY",
+            "ROOT Hips",
+            "{",
+            "    OFFSET 0.0 1.0 0.0",
+            "    CHANNELS 3 Xposition Yposition Zposition",
+            "    JOINT Spine1",
+            "    {",
+            "        OFFSET 0.0 0.5 0.0",
+            "        CHANNELS 9 Xposition Yposition Zposition"
+            " Zrotation Xrotation Yrotation Xscale Yscale Zscale",
+            "        JOINT Head1",
+            "        {",
+            "            OFFSET 0.0 0.4 0.1",
+            "            CHANNELS 9 Xposition Yposition Zposition"
+            " Zrotation Xrotation Yrotation Xscale Yscale Zscale",
+            "            End Site",
+            "            {",
+            "                OFFSET 0.0 0.2 0.0",
+            "            }",
+            "        }",
+            "    }",
+            "}",
+            "MOTION",
+            "Frames: 2",
+            "Frame Time: 0.016667",
+        ])
+        rng = np.random.default_rng(11)
+        frames = np.round(rng.normal(size=(2, 3 + 9 * 2)), 4)
+        body = "\n".join(" ".join(f"{v:.4f}" for v in row)
+                         for row in frames)
+        path = str(tmp_path / "clip9.bvh")
+        with open(path, "w") as f:
+            f.write(header + "\n" + body + "\n")
+
+        ours = jbvh.load(path)
+        ref = rbvh.load(path)
+
+        assert ours["order"] == ref["order"] == "zxy"
+        np.testing.assert_array_equal(ours["parents"], ref["parents"])
+        np.testing.assert_allclose(ours["offsets"], ref["offsets"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(ours["rotations"], ref["rotations"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(ours["positions"], ref["positions"],
+                                   atol=1e-6)
+        # spot-check the semantics directly: joint j>0 position =
+        # offset + chan_pos * chan_scale; root rotation stays zero
+        j1 = frames[:, 3:12]
+        np.testing.assert_allclose(
+            ours["positions"][:, 1],
+            np.asarray([0.0, 0.5, 0.0]) + j1[:, 0:3] * j1[:, 6:9],
+            atol=1e-6)
+        np.testing.assert_array_equal(ours["rotations"][:, 0], 0.0)
+
     def test_stream_io(self):
         data = make_mocha_bvh_data(T=4, seed=2)
         buf = _io.StringIO()
