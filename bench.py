@@ -37,7 +37,12 @@ def main():
                     help="serve N distinct characters round-robin across "
                          "the streams from one shared database stack "
                          "(multi_character runner)")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=7,
+                    help="timed repeats; the metric is the min. One e2e "
+                    "repeat is ~1.1 s against ~9 min of compile/setup, so "
+                    "extra repeats are ~free and stabilize the min against "
+                    "relay-session hiccups (r4 captured 13.4k vs r5's 14.5k "
+                    "from the same code at 3 repeats)")
     ap.add_argument("--e2e", action="store_true",
                     help="end-to-end instrument only: clip arrays -> "
                          "featurize -> window -> encode -> stream scan")
