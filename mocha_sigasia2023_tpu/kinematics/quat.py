@@ -18,6 +18,8 @@ import functools
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops.numerics import safe_sqrt, safe_unit_denom
+
 
 def _cross(a, b):
     return jnp.concatenate(
@@ -42,7 +44,9 @@ def length(x):
 
 
 def normalize(x, eps=1e-8):
-    return x / (length(x)[..., None] + eps)
+    # safe_sqrt keeps the gradient finite at x == 0 (d||x||/dx = 0/0
+    # otherwise); values/grads are bitwise-unchanged for ||x|| >= 1e-15
+    return x / (safe_sqrt(jnp.sum(x * x, axis=-1), 1e-30)[..., None] + eps)
 
 
 def abs_(x):
@@ -133,9 +137,13 @@ def from_xform_xy(xy):
     Input shape (..., 3, 2)."""
     c0 = xy[..., 0]
     c2 = _cross(c0, xy[..., 1])
-    c2 = c2 / jnp.sqrt(jnp.sum(jnp.square(c2), axis=-1))[..., None]
+    # safe_unit_denom: NETWORK-PREDICTED columns can go parallel/tiny —
+    # the plain ||cross|| division is 0/0 = NaN forward and explodes in
+    # the backward near the edge (ops/numerics.py); real columns are
+    # bitwise-unaffected
+    c2 = c2 / safe_unit_denom(c2)
     c1 = _cross(c2, c0)
-    c1 = c1 / jnp.sqrt(jnp.sum(jnp.square(c1), axis=-1))[..., None]
+    c1 = c1 / safe_unit_denom(c1)
     return from_xform(jnp.stack([c0, c1, c2], axis=-1))
 
 
@@ -203,7 +211,11 @@ def between(u, v):
 
 
 def log(q, eps=1e-5):
-    v_len = jnp.sqrt(jnp.sum(jnp.square(q[..., 1:]), axis=-1))[..., None]
+    # safe_sqrt: at the identity rotation the vector part is exactly 0 and
+    # the plain sqrt backward is inf -> NaN through the eps-guarded where
+    # (values unchanged: sqrt(1e-30) = 1e-15 < eps keeps branch selection)
+    v_len = safe_sqrt(jnp.sum(jnp.square(q[..., 1:]), axis=-1),
+                      1e-30)[..., None]
     safe = jnp.where(v_len < eps, jnp.ones_like(v_len), v_len)
     halfangle = jnp.where(
         v_len < eps, jnp.ones_like(v_len), jnp.arctan2(v_len, q[..., 0:1]) / safe
@@ -212,7 +224,9 @@ def log(q, eps=1e-5):
 
 
 def exp(v, eps=1e-5):
-    halfangle = jnp.sqrt(jnp.sum(jnp.square(v), axis=-1))[..., None]
+    # safe_sqrt: same identity-rotation gradient edge as log()
+    halfangle = safe_sqrt(jnp.sum(jnp.square(v), axis=-1),
+                          1e-30)[..., None]
     c = jnp.where(halfangle < eps, jnp.ones_like(halfangle), jnp.cos(halfangle))
     s = jnp.where(
         halfangle < eps, jnp.ones_like(halfangle), jnp.sinc(halfangle / jnp.pi)

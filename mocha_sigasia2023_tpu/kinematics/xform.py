@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .quat import topo_levels, _as_parents_key, _cross
+from ..ops.numerics import safe_unit_denom
 
 
 # NOTE: 3x3 products are spelled as broadcast-multiply + reduce, NOT
@@ -45,9 +46,13 @@ def from_xy(xy):
     uses to turn network `txy` output into rotation matrices."""
     c0 = xy[..., 0]
     c2 = _cross(c0, xy[..., 1])
-    c2 = c2 / jnp.sqrt(jnp.sum(jnp.square(c2), axis=-1))[..., None]
+    # safe_unit_denom: this is the path the recon loss drives with
+    # NETWORK-PREDICTED txy — parallel/tiny columns must yield a finite
+    # (garbage but bounded) rotation, not 0/0 = NaN + inf grads
+    # (ops/numerics.py); real columns are bitwise-unaffected
+    c2 = c2 / safe_unit_denom(c2)
     c1 = _cross(c2, c0)
-    c1 = c1 / jnp.sqrt(jnp.sum(jnp.square(c1), axis=-1))[..., None]
+    c1 = c1 / safe_unit_denom(c1)
     return jnp.stack([c0, c1, c2], axis=-1)
 
 

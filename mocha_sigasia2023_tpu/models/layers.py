@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.numerics import safe_sqrt
+
 
 # ---------------------------------------------------------------------------
 # Initializers (torch defaults: kaiming-uniform a=sqrt(5) == U(±1/sqrt(fan)))
@@ -103,7 +105,11 @@ def mean_variance_norm(x, eps=1e-5, axis=-2):
     n = x.shape[axis]
     mean = x.mean(axis=axis, keepdims=True)
     var = x.var(axis=axis, keepdims=True) * (n / max(n - 1, 1))
-    return (x - mean) / (jnp.sqrt(var) + eps)
+    # safe_sqrt: var == 0 exactly (a dead ReLU channel — all tokens equal)
+    # keeps the forward finite ((x-mean)/eps = 0) but the plain sqrt
+    # backward is inf -> NaN grads; this op runs in the attention q/k path
+    # of every training forward (see ops/numerics.py)
+    return (x - mean) / (safe_sqrt(var) + eps)
 
 
 def conv1x1(p, x):

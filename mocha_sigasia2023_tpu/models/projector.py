@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .layers import init_linear, linear
+from ..ops.numerics import safe_sqrt
 
 
 class ProjectorConfig(NamedTuple):
@@ -67,7 +68,9 @@ def sample_patches(cfg: ProjectorConfig, feat: jnp.ndarray,
         n = feat.shape[1]
         mean = feat.mean(axis=1)
         var = feat.var(axis=1) * (n / max(n - 1, 1))
-        return jnp.concatenate([jnp.sqrt(var), mean], axis=1), None
+        # safe_sqrt: a dead feature channel (var == 0 exactly) must not
+        # emit inf grads through the NCE path (ops/numerics.py)
+        return jnp.concatenate([safe_sqrt(var), mean], axis=1), None
     return feat.reshape(b, cfg.m_dim * c), None
 
 

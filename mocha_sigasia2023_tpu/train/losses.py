@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..kinematics import quat, xform
+from ..ops.numerics import safe_sqrt
 
 
 def _split_channels(Y):
@@ -153,8 +154,12 @@ def patch_nce_loss(feat_q, feat_k, temp: float = 0.07,
     if compute_dtype is not None:
         feat_q = feat_q.astype(compute_dtype)
         feat_k = feat_k.astype(compute_dtype)
-    feat_q = feat_q / jnp.linalg.norm(feat_q, axis=1, keepdims=True)
-    feat_k = feat_k / jnp.linalg.norm(feat_k, axis=1, keepdims=True)
+    # safe_sqrt: an exactly-zero projected patch (dead ReLU column in the
+    # projector MLP) must not emit NaN grads via d||x||/dx = 0/0
+    feat_q = feat_q / safe_sqrt(
+        jnp.sum(jnp.square(feat_q), axis=1, keepdims=True))
+    feat_k = feat_k / safe_sqrt(
+        jnp.sum(jnp.square(feat_k), axis=1, keepdims=True))
     feat_k = jax.lax.stop_gradient(feat_k)
 
     l_pos = jnp.sum(feat_q * feat_k, axis=1, keepdims=True)  # (n, 1)

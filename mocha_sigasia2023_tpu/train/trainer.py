@@ -25,6 +25,7 @@ import optax
 
 from ..models import generator as gen
 from ..models import projector as prj
+from ..ops.numerics import safe_clip_by_global_norm
 from ..models.generator import GeneratorConfig
 from ..models.projector import ProjectorConfig
 from ..parallel import make_mesh, replicate, shard_batch
@@ -55,7 +56,11 @@ def make_optimizer(lr: float, weight_decay: float, lr_drop_epochs: int,
         decay_rate=gamma,
         staircase=True,
     )
-    clip = optax.clip_by_global_norm(grad_clip)
+    # safe variant: bit-identical to optax.clip_by_global_norm for finite
+    # gradients; a non-finite global norm ZEROES the step instead of
+    # poisoning the params with NaN (ops/numerics.py — the r5 convergence
+    # incident's second line of defense)
+    clip = safe_clip_by_global_norm(grad_clip)
     if clip_gen_only:
         clip = optax.masked(
             clip,

@@ -31,6 +31,7 @@ from einops import rearrange
 from ..models import cvae as jcvae
 from ..models.cvae import CVAEConfig
 from ..models.layers import mean_variance_norm
+from ..ops.numerics import safe_sqrt
 from ..runtime.matching import nn_index
 from .losses import kl_normal
 
@@ -211,7 +212,9 @@ class CVAETrainer:
                 enc_l1 = jnp.mean(jnp.abs(out - cha_enc_nm[:, offset]))
                 out_un = out * enc_std + enc_mean
                 cnt_til = (mean_variance_norm(out_un) - ccnt_mean) / ccnt_std
-                Dtil = jnp.sqrt(jnp.sum(jnp.square(
+                # safe_sqrt: identical src/cha content rows (distance
+                # exactly 0) must not emit inf grads (ops/numerics.py)
+                Dtil = safe_sqrt(jnp.sum(jnp.square(
                     src_cnt_nm[:, offset] - cnt_til), axis=-1))
                 dist_l1 = jnp.mean(jnp.abs(Dtil - Dgnd[:, offset]))
                 cnt_l1 = jnp.mean(jnp.abs(cnt_til - cha_cnt_nm[:, offset]))
