@@ -69,6 +69,13 @@ def main():
                     help="force the CPU backend (the axon sitecustomize "
                          "overrides JAX_PLATFORMS; same treatment as "
                          "tests/conftest.py) — for smoke runs off-chip")
+    ap.add_argument("--through", choices=["gen", "full"], default="full",
+                    help="stage gate: 'gen' stops after generator training "
+                    "(prints a partial summary).  The axon relay client "
+                    "retains host mirrors of device buffers (~170 MB/CVAE "
+                    "iteration observed), so on small-RAM hosts run the "
+                    "script twice in fresh processes: --through gen, then "
+                    "--keep for the CVAE/characterize stages")
     args = ap.parse_args()
 
     if args.cpu:
@@ -141,6 +148,20 @@ def main():
     k = min(5, len(gen_series))
     gen_first = float(np.mean([v for _, v in gen_series[:k]]))
     gen_last = float(np.mean([v for _, v in gen_series[-k:]]))
+
+    if args.through == "gen":
+        summary = {
+            "stage": "gen",
+            "gen_steps": epochs * steps_per_epoch,
+            "gen_loss_total_first": round(gen_first, 3),
+            "gen_loss_total_last": round(gen_last, 3),
+            "gen_train_s": round(t_gen, 1),
+            "workdir": d,
+        }
+        print(json.dumps(summary))
+        ok = gen_last < gen_first and np.isfinite(gen_last)
+        print("GEN STAGE:", "OK" if ok else "NOT CONVERGED")
+        return 0 if ok else 1
 
     # --- 3. feature exports with the trained generator -------------------
     cnt_norm = os.path.join(data_dir, "cnt_norm.npz")
