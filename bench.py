@@ -22,6 +22,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -521,6 +522,11 @@ def bench_e2e(args):
         "vs_baseline": round(fps / 60.0, 2),
         "streams": S,
         "frames_per_stream": F,
+        # the featurize half stacks/uploads on host, so concurrent host
+        # CPU load leaks into this instrument (measured -3..-7% with a
+        # test suite running on a 1-CPU relay host; the step-loop half is
+        # load-stable).  Stamp the 1-min load so captures are comparable.
+        "host_load_1m": round(os.getloadavg()[0], 2),
     }
 
 
